@@ -1,0 +1,18 @@
+"""Test configuration: force a virtual 8-device CPU mesh before jax imports.
+
+Multi-chip sharding is validated on host devices
+(xla_force_host_platform_device_count) since only one real TPU chip is
+available in CI; the driver's dryrun separately exercises the same code.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,169 @@
+"""Headless renderer driver: owns device scene data, render params and the
+progressive accumulation loop — the application shell that replaces the
+reference's GGUI frame loop (scene.py:171-297)."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxelrt.materials import MaterialList
+from voxelrt.render import pipeline
+from voxelrt.render.pathtracer import RenderParams, SceneData
+
+
+class HeadlessRenderer:
+    def __init__(self, cfg, scene, seed=0, quiet=False):
+        self.cfg = cfg
+        self.scene = scene
+        self.quiet = quiet
+        self.mats = MaterialList()
+        self.key = jax.random.PRNGKey(seed)
+        self.state = None
+        self.scene_data = None
+        self._frame = 0
+        self._rng = np.random.default_rng(seed ^ 0x5EED)
+        self._prev = None  # (proj, view, camera_pos) of previous frame
+
+    # -- precompute (renderer/pathtracer.py:314-323) -----------------------
+
+    def prepare_data(self):
+        arrays = self.scene.world.device_arrays()
+        sky = None
+        if self.cfg.use_physical_sky:
+            from voxelrt.sky.atmos import prepare_sky
+
+            sky = prepare_sky(
+                self.cfg,
+                np.asarray(self.scene._light_direction, np.float32),
+                np.asarray(self.scene._light_color, np.float32)
+                * self.cfg.light_weight,
+                float(self.scene._light_cone_cos_theta_max),
+                quiet=self.quiet,
+            )
+        self.scene_data = SceneData(
+            occ_words=arrays["occ_words"],
+            voxels=arrays["voxels"],
+            mat_params=self.mats.params,
+            sky=sky,
+        )
+        self.state = pipeline.init_state(self.cfg)
+        self._frame = 0
+        self._prev = None
+
+    # -- per-frame params ---------------------------------------------------
+
+    def _params(self, max_accum_frames):
+        sc = self.scene
+        proj, view = sc.camera.matrices(
+            sc._fov, self.cfg.aspect_ratio, self.cfg.z_near, self.cfg.z_far
+        )
+        if self._prev is None:
+            self._prev = (proj, view, np.asarray(sc.camera.position, np.float32))
+        prev_proj, prev_view, prev_pos = self._prev
+        jitter = (self._rng.random(2) * 2.0 - 1.0) / np.asarray(
+            self.cfg.image_res, np.float64
+        )
+        p = RenderParams(
+            camera_pos=jnp.asarray(sc.camera.position, jnp.float32),
+            proj=jnp.asarray(proj),
+            proj_inv=jnp.asarray(np.linalg.inv(proj)),
+            view=jnp.asarray(view),
+            view_inv=jnp.asarray(np.linalg.inv(view)),
+            prev_proj=jnp.asarray(prev_proj),
+            prev_view=jnp.asarray(prev_view),
+            prev_camera_pos=jnp.asarray(prev_pos),
+            light_direction=jnp.asarray(sc._light_direction, jnp.float32),
+            light_cone_cos_theta_max=jnp.float32(sc._light_cone_cos_theta_max),
+            light_color=jnp.asarray(sc._light_color, jnp.float32),
+            floor_height=jnp.float32(sc._floor_height),
+            floor_color=jnp.asarray(sc._floor_color, jnp.float32),
+            floor_material=jnp.int32(sc._floor_material),
+            background_color=jnp.asarray(sc._background_color, jnp.float32),
+            max_accum_frames=jnp.float32(max_accum_frames),
+            taa_jitter=jnp.asarray(jitter, jnp.float32),
+            frame_idx=jnp.int32(self._frame),
+        )
+        self._copy_prev = (proj, view, np.asarray(sc.camera.position, np.float32))
+        return p
+
+    def copy_prev_matrices(self):
+        """renderer/pathtracer.py:283-287 (host-side)."""
+        self._prev = self._copy_prev
+
+    # -- static-camera progressive render ------------------------------------
+
+    def render(self, spp=512, chunk=None, log_every=128):
+        """Accumulate ``spp`` samples with the camera fixed; returns the
+        tonemapped (W, H, 3) float image."""
+        chunk = chunk or max(1, min(spp, self.cfg.samples_per_launch * 32))
+        params = self._params(max_accum_frames=999999999.0)
+        done = 0
+        t0 = time.perf_counter()
+        while done < spp:
+            n = min(chunk, spp - done)
+            self.state = pipeline.accumulate_n(
+                self.cfg, self.scene_data, params, self.state,
+                jax.random.fold_in(self.key, self._frame),
+                False, 1.0, n,
+            )
+            self._frame += n
+            done += n
+            if not self.quiet and (done % log_every == 0 or done == spp):
+                jax.block_until_ready(self.state.color)
+                print(f"  {done}/{spp} spp  ({time.perf_counter() - t0:.2f}s)")
+        self.copy_prev_matrices()
+        return self.fetch_image(render_scale=1.0)
+
+    def fetch_image(self, render_scale=1.0):
+        img = pipeline.fetch_image(
+            self.cfg, self.state, jnp.float32(self.cfg.exposure), render_scale
+        )
+        return np.asarray(jax.device_get(img))
+
+    # -- interactive-equivalent loop -----------------------------------------
+
+    def run_frames(self, frames, spp_per_frame=1, on_frame=None):
+        """Scripted camera-path loop with the reference's motion policy
+        (scene.py:206-256): while moving → render_scale 0.5, history cap 50;
+        transitions reset the framebuffer."""
+        camera_is_moving = False
+        img = None
+        last_t = time.perf_counter()
+        for i, frame in enumerate(frames):
+            dt = frame.get("dt")
+            if dt is None:
+                now = time.perf_counter()
+                dt = now - last_t
+                last_t = now
+            moved = False
+            if frame.get("move_keys"):
+                moved |= self.scene.camera.translate(frame["move_keys"], dt)
+            if frame.get("orbit"):
+                moved |= self.scene.camera.orbit(*frame["orbit"])
+
+            should_reset = moved != camera_is_moving
+            camera_is_moving = moved
+            max_accum = 50.0 if moved else 999999999.0
+            render_scale = 0.5 if moved else 1.0
+
+            if should_reset:
+                self.state = pipeline.reset_framebuffer(self.state)
+
+            params = self._params(max_accum_frames=max_accum)
+            self.state = pipeline.accumulate_n(
+                self.cfg, self.scene_data, params, self.state,
+                jax.random.fold_in(self.key, self._frame),
+                camera_is_moving, render_scale, spp_per_frame,
+            )
+            self._frame += spp_per_frame
+            self.copy_prev_matrices()
+            if on_frame is not None:
+                img = self.fetch_image(render_scale)
+                on_frame(i, img)
+        if on_frame is None:
+            img = self.fetch_image(1.0 if not camera_is_moving else 0.5)
+        return img

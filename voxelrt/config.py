@@ -1,0 +1,104 @@
+"""Static render configuration.
+
+The reference scatters configuration across three tiers: module constants
+(``USE_RESTIR_PT``, ``MAX_RAY_DEPTH``, ``RADIANCE_CLAMP`` at
+renderer/pathtracer.py:15-20; ``SCREEN_RES``/``VOXEL_DX`` at scene.py:11-12),
+constructor arguments (``voxel_edges``, ``exposure``, scene.py:113) and 0-D
+runtime fields (the Scene setter methods, scene.py:139-169).
+
+Here everything that is *static at jit-trace time* lives in one frozen
+dataclass; per-frame runtime values (camera, light, floor, flags that do not
+change traced code shape) live in the :class:`voxelrt.render.pipeline.RenderParams`
+pytree instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Trace-time-static renderer configuration."""
+
+    # Image / screen (reference fixes 1920x1080 at scene.py:12; we default to
+    # the 720p benchmark resolution and make it configurable).
+    image_res: tuple[int, int] = (1280, 720)
+
+    # Voxel grid (scene.py:11, renderer/voxel_world.py:13-14).
+    grid_res: int = 128
+    voxel_dx: float = 1.0 / 64.0
+
+    # Scene constructor args (scene.py:113).
+    voxel_edges: float = 0.06
+    exposure: float = 3.0
+
+    # Path tracing constants (renderer/pathtracer.py:15-24).
+    max_ray_depth: int = 4
+    use_directional_light: bool = True
+    use_restir_pt: bool = False
+    radiance_clamp: float = 300.0
+
+    # ReSTIR spatial GRIS pass parameters (renderer/pathtracer.py:1312-1314).
+    restir_radius: float = 24.0
+    restir_taps: int = 32
+
+    # Traversal bound (renderer/raytracer.py:103).
+    max_dda_advances: int = 512
+
+    # Vignette (renderer/pathtracer.py:32-34).
+    vignette_strength: float = 0.9
+    vignette_radius: float = 0.0
+    vignette_center: tuple[float, float] = (0.5, 0.5)
+
+    # Default vertical FOV in radians (renderer/pathtracer.py:89).
+    fov: float = math.radians(50.0)
+
+    # Camera near/far planes (scene.py:190-191).
+    z_near: float = 0.01
+    z_far: float = 10.0
+
+    # Physical sky: static toggles — the reference stores them in 0-D fields
+    # (scene.py:159-169) but they gate whole pipelines, so they are
+    # trace-static here. The skybox resolution is 3840 in the reference
+    # (renderer/atmos.py:66-67); it is configurable here because the TPU
+    # build can trade precompute time/memory for fidelity.
+    use_physical_sky: bool = False
+    use_clouds: bool = False
+    skybox_res: int = 2048
+    trans_lut_res: tuple[int, int] = (256, 128)
+    sky_steps: int = 64
+    sky_sun_samples: int = 8
+    sky_ms_samples: int = 8
+    sky_ms_steps: int = 5
+    cloud_steps: int = 32
+    cloud_sun_samples: int = 8
+    cloud_shadow_steps: int = 8
+    cloud_accum_passes: int = 32
+
+    # Number of path samples traced per accumulate() call per pixel.
+    samples_per_launch: int = 1
+
+    # Light brightness multiplier (renderer/pathtracer.py:144).
+    light_weight: float = 3.0
+
+    @property
+    def n_lods(self) -> int:
+        return int(math.log2(self.grid_res))
+
+    @property
+    def aspect_ratio(self) -> float:
+        return self.image_res[0] / self.image_res[1]
+
+    @property
+    def voxel_inv_dx(self) -> float:
+        return 1.0 / self.voxel_dx
+
+    @property
+    def grid_offset(self) -> int:
+        # renderer/voxel_world.py:14 — grid centered at the origin.
+        return -(self.grid_res // 2)
+
+
+DEFAULT_CONFIG = RenderConfig()

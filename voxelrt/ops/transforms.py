@@ -1,0 +1,53 @@
+"""Screen/view/world space transforms (renderer/space_transformations.py).
+
+Matrices follow the OpenGL column-vector convention the reference obtains
+from ``ti.ui.Camera`` (scene.py:186-237): ``clip = P @ V @ world``, NDC in
+[-1, 1], screen coords in [0, 1].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def apply_mat4(m, v3, w):
+    """Apply a 4x4 matrix to (..., 3) points with homogeneous w -> (..., 4)."""
+    return jnp.einsum("ij,...j->...i", m[:, :3], v3) + m[:, 3] * w
+
+
+def linearize_depth(depth, inv_proj):
+    """renderer/space_transformations.py:6-8."""
+    return 1.0 / ((depth * 2.0 - 1.0) * inv_proj[3, 2] + inv_proj[3, 3])
+
+
+def delinearize_depth(lin_depth, proj):
+    """renderer/space_transformations.py:10-12."""
+    safe = jnp.where(lin_depth == 0.0, 1e-20, lin_depth)
+    return ((-safe * proj[2, 2] + proj[2, 3]) / -safe) * -0.5 + 0.5
+
+
+def screen_to_view(uv, depth, inv_proj):
+    """renderer/space_transformations.py:14-20 — depth is non-linear [0,1]."""
+    ndc = jnp.stack(
+        [uv[..., 0] * 2.0 - 1.0, uv[..., 1] * 2.0 - 1.0,
+         jnp.broadcast_to(depth, uv[..., 0].shape) * 2.0 - 1.0],
+        axis=-1,
+    )
+    pos = apply_mat4(inv_proj, ndc, 1.0)
+    return pos[..., :3] / pos[..., 3:4]
+
+
+def view_to_screen(view_pos, proj):
+    """renderer/space_transformations.py:22-26."""
+    pos = apply_mat4(proj, view_pos, 1.0)
+    return (pos[..., :3] / pos[..., 3:4]) * 0.5 + 0.5
+
+
+def view_to_world(pos, inv_view, is_position=1.0):
+    """renderer/space_transformations.py:28-30."""
+    return apply_mat4(inv_view, pos, is_position)[..., :3]
+
+
+def world_to_view(pos, view, is_position=1.0):
+    """renderer/space_transformations.py:32-34."""
+    return apply_mat4(view, pos, is_position)[..., :3]

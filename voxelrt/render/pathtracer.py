@@ -1,0 +1,473 @@
+"""Wavefront path-tracing sample pass.
+
+TPU-native redesign of the reference's per-pixel megakernel
+(renderer/pathtracer.py:355-632). One call traces one progressive sample for
+every pixel: ray generation, a statically unrolled 4-deep bounce loop
+(MAX_RAY_DEPTH, renderer/pathtracer.py:17) with NEE + MIS against the sun
+cone light, sky/emissive termination, and the diffuse/specular split +
+G-buffer epilogue. Divergence is handled with lane masks instead of thread
+divergence; terminated rays cost nothing inside the traversal while-loop
+because their `ray_max_t` is zeroed.
+
+Reference quirks preserved on purpose (they are part of the image):
+  * cone pdf that ignores orientation (renderer/math_utils.py:61-65);
+  * the first-bounce BSDF-sample MIS weight is applied only to the ReSTIR
+    reservoir copy of the integrand, NOT to the displayed contrib
+    (renderer/pathtracer.py:571-574 vs :615);
+  * firefly clamp at 300 (renderer/pathtracer.py:20-24);
+  * light_weight = 3.0 multiplier (renderer/pathtracer.py:144);
+  * emission is only added to the diffuse channel when the first-bounce lobe
+    is diffuse (renderer/pathtracer.py:615);
+  * Russian roulette disabled (renderer/pathtracer.py:527-533).
+
+Divergence from the reference: an escaped first bounce adds a large finite
+reflection distance instead of the reference's inf (which poisons its
+reflection-depth G-buffer with NaNs, renderer/pathtracer.py:414-417,543-547).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from voxelrt.materials import fetch_material
+from voxelrt.ops import packing
+from voxelrt.ops.bsdf import (
+    LOBE_DIFFUSE,
+    LOBE_SPEC_REFL,
+    disney_evaluate_split,
+    pdf_disney,
+    sample_disney,
+)
+from voxelrt.ops.dda import OccupancyPyramid, raytrace
+from voxelrt.ops.sampling import (
+    EPS,
+    INF,
+    cone_sample_pdf,
+    dot,
+    is_vec_zero,
+    length,
+    make_orthonormal_basis,
+    normalize,
+    power_heuristic,
+    sample_cone_oriented,
+    saturate,
+)
+from voxelrt.ops.transforms import (
+    linearize_depth,
+    screen_to_view,
+    view_to_screen,
+    view_to_world,
+    world_to_view,
+)
+
+SKY_REFLECTION_DIST = 1.0e4  # finite stand-in for the reference's inf
+
+
+class SceneData(NamedTuple):
+    """Immutable device-side scene (see voxelrt.world.VoxelWorld)."""
+
+    occ_words: jax.Array  # u32 packed occupancy pyramid
+    voxels: jax.Array  # u32[res³] z-major: r | g<<8 | b<<16 | mat<<24
+    mat_params: jax.Array  # f32[128, 14] Disney palette
+    sky: Any = None  # SkyData when physical sky enabled
+
+
+class RenderParams(NamedTuple):
+    """Per-frame traced values (the reference's 0-D fields)."""
+
+    camera_pos: jax.Array  # (3,)
+    proj: jax.Array  # (4,4)
+    proj_inv: jax.Array
+    view: jax.Array
+    view_inv: jax.Array
+    prev_proj: jax.Array
+    prev_view: jax.Array
+    prev_camera_pos: jax.Array
+    light_direction: jax.Array  # (3,) normalized
+    light_cone_cos_theta_max: jax.Array  # ()
+    light_color: jax.Array  # (3,)
+    floor_height: jax.Array  # ()
+    floor_color: jax.Array  # (3,)
+    floor_material: jax.Array  # () i32
+    background_color: jax.Array  # (3,)
+    max_accum_frames: jax.Array  # ()
+    taa_jitter: jax.Array  # (2,)
+    frame_idx: jax.Array  # () i32
+
+
+def firefly_filter(v, cfg):
+    """renderer/pathtracer.py:22-24."""
+    return jnp.clip(v, 0.0, cfg.radiance_clamp)
+
+
+def fetch_voxel_surface(cfg, scene, ipos, uv):
+    """Voxel surface color + edge darkening (renderer/voxel_world.py:34-56).
+
+    ipos: (N, 3) grid-space cell index in [0, res); uv: (N, 3) in-cell frac.
+    Returns (color, is_light, mat_id).
+    """
+    res = cfg.grid_res
+    flat = (ipos[..., 2] * res + ipos[..., 1]) * res + ipos[..., 0]
+    word = jnp.take(scene.voxels, jnp.maximum(flat, 0), axis=0, mode="clip")
+    mat_id = (word >> 24).astype(jnp.int32)
+    color = (
+        jnp.stack([word & 0xFF, (word >> 8) & 0xFF, (word >> 16) & 0xFF], axis=-1)
+        .astype(jnp.float32)
+        / 255.0
+    )
+    boundary = cfg.voxel_edges
+    near_edge = (uv < boundary) | (uv > 1.0 - boundary)
+    count = jnp.sum(near_edge.astype(jnp.int32), axis=-1)
+    f = (count >= 2).astype(jnp.float32)
+    color = color * (1.0 - 0.9 * f)[..., None]
+    is_light = mat_id == 2
+    return color, is_light, mat_id
+
+
+class Hit(NamedTuple):
+    closest: jax.Array  # (N,) world-space distance (inf = miss)
+    normal: jax.Array  # (N, 3)
+    albedo: jax.Array  # (N, 3)
+    hit_light: jax.Array  # (N,) bool
+    mat_id: jax.Array  # (N,) i32
+    iters: jax.Array  # (N,) i32 traversal advance count
+
+
+def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool) -> Hit:
+    """Closest hit of floor plane + voxel grid (renderer/pathtracer.py:218-244).
+
+    mask: rays to trace; others are skipped inside the traversal loop.
+    """
+    n = pos.shape[0]
+    closest = jnp.full((n,), jnp.float32(INF))
+    normal = jnp.zeros((n, 3), jnp.float32)
+    albedo = jnp.ones((n, 3), jnp.float32)
+    hit_light = jnp.zeros((n,), jnp.bool_)
+    mat_id = jnp.zeros((n,), jnp.int32)
+
+    # --- implicit floor plane (renderer/pathtracer.py:152-190)
+    dy = d[..., 1]
+    floor_dist = (params.floor_height - pos[..., 1]) / jnp.where(dy == 0.0, 1e-20, dy)
+    hit_pos = pos + d * floor_dist[..., None]
+    # The reference's extent check subtracts the scalar dot(hit_pos, normal)
+    # from the vector hit_pos (a quirky broadcast) — reproduced verbatim.
+    extent = length(hit_pos - hit_pos[..., 1:2])
+    floor_ok = mask & (floor_dist > EPS) & (floor_dist < closest) & (extent < 10.0)
+    closest = jnp.where(floor_ok, floor_dist, closest)
+    normal = jnp.where(floor_ok[..., None], jnp.asarray([0.0, 1.0, 0.0]), normal)
+    # Floor normal flip (pathtracer.py:186-187).
+    flip = floor_ok & (dy > 0.0)
+    normal = jnp.where(flip[..., None], -normal, normal)
+    albedo = jnp.where(floor_ok[..., None], params.floor_color, albedo)
+    hit_light = jnp.where(floor_ok, params.floor_material == 2, hit_light)
+    mat_id = jnp.where(floor_ok, params.floor_material.astype(jnp.int32), mat_id)
+
+    # --- voxel grid (renderer/pathtracer.py:192-216)
+    inv_size = 1.0 / cfg.voxel_dx
+    offset = cfg.grid_offset
+    eye_scaled = pos * inv_size - offset  # world_to_voxel (pathtracer.py:165-167)
+    pyr = OccupancyPyramid(scene.occ_words, cfg.grid_res, cfg.n_lods)
+    tmax = jnp.where(mask, jnp.float32(INF), 0.0)
+    tr = raytrace(pyr, eye_scaled, d, EPS, tmax, cfg.max_dda_advances)
+    vox_dist = tr.distance * cfg.voxel_dx
+    vox_ok = mask & (vox_dist < closest)
+    closest = jnp.where(vox_ok, vox_dist, closest)
+    if not shadow_ray:
+        uv = jnp.clip(
+            eye_scaled + tr.distance[..., None] * d - tr.ipos.astype(jnp.float32),
+            0.0,
+            1.0,
+        )
+        color, v_is_light, v_mat = fetch_voxel_surface(cfg, scene, tr.ipos, uv)
+        normal = jnp.where(vox_ok[..., None], tr.normal, normal)
+        albedo = jnp.where(vox_ok[..., None], color, albedo)
+        hit_light = jnp.where(vox_ok, v_is_light, hit_light)
+        mat_id = jnp.where(vox_ok, v_mat, mat_id)
+
+    return Hit(closest, normal, albedo, hit_light, mat_id, tr.iters)
+
+
+def get_cast_dir(cfg, params, u, v, camera_is_moving: bool, render_scale: float):
+    """Primary ray directions (renderer/pathtracer.py:293-312)."""
+    inv_res = jnp.asarray(
+        [1.0 / cfg.image_res[0], 1.0 / cfg.image_res[1]], jnp.float32
+    )
+    texcoord = (jnp.stack([u, v], axis=-1) + 0.5) * inv_res / render_scale
+    if not camera_is_moving:
+        texcoord = texcoord + params.taa_jitter * 0.5
+    d = normalize(screen_to_view(texcoord, 1.0, params.proj_inv))
+    d = view_to_world(d, params.view_inv, 0.0)
+    return normalize(d)
+
+
+def sample_sky(cfg, scene, params, d, u3):
+    """Sky radiance for escaped rays: constant background or precomputed
+    skybox (renderer/pathtracer.py:499-517)."""
+    if cfg.use_physical_sky:
+        from voxelrt.sky.atmos import sample_skybox
+
+        return sample_skybox(cfg, scene.sky, d, u3)
+    n = d.shape[0]
+    scatt = jnp.broadcast_to(params.background_color, (n, 3))
+    trans = jnp.ones((n, 3), jnp.float32)
+    return scatt, trans
+
+
+def sky_transmittance(cfg, scene, d):
+    """Sun transmittance for NEE (renderer/pathtracer.py:465-466)."""
+    if cfg.use_physical_sky:
+        from voxelrt.sky.atmos import sample_skybox_transmittance
+
+        return sample_skybox_transmittance(cfg, scene.sky, d)
+    return jnp.ones(d.shape[:-1] + (3,), jnp.float32)
+
+
+def trace_sample(cfg, scene, params, key, u, v,
+                 camera_is_moving: bool, render_scale: float):
+    """Trace one progressive sample for pixels (u, v) — the megakernel body
+    (renderer/pathtracer.py:355-632). Returns a dict of per-pixel outputs.
+    """
+    n = u.shape[0]
+    f3 = lambda: jnp.zeros((n, 3), jnp.float32)
+
+    d = get_cast_dir(cfg, params, u, v, camera_is_moving, render_scale)
+    pos = jnp.broadcast_to(params.camera_pos, (n, 3))
+
+    # is_outside_render_area (renderer/pathtracer.py:289-291).
+    inside = ~(
+        (u > render_scale * cfg.image_res[0]) | (v > render_scale * cfg.image_res[1])
+    )
+
+    contrib = f3()
+    throughput = jnp.ones((n, 3), jnp.float32)
+
+    primary_normal_oct = jnp.zeros((n, 2), jnp.float16)
+    primary_pos = f3()
+    primary_mat_info = jnp.zeros((n,), jnp.uint32)
+    primary_albedo = jnp.ones((n, 3), jnp.float32)
+
+    first_bounce_lobe_id = jnp.zeros((n,), jnp.int32)
+    first_bounce_invpdf = jnp.ones((n,), jnp.float32)
+    first_nee_diffuse = f3()
+    first_nee_specular = f3()
+    first_bounce_dir = f3()
+    first_light_sample_bsdf_pdf = jnp.ones((n,), jnp.float32)
+    first_bounce_reflection_dist = jnp.zeros((n,), jnp.float32)
+    is_sky_ray = jnp.zeros((n,), jnp.bool_)
+
+    tracing = inside  # rays still walking the bounce loop
+    nee_visible_prev = jnp.zeros((n,), jnp.float32)
+
+    for depth in range(cfg.max_ray_depth):
+        kd = jax.random.fold_in(key, depth)
+        u_nee = jax.random.uniform(jax.random.fold_in(kd, 0), (n, 2))
+        u_bsdf = jax.random.uniform(jax.random.fold_in(kd, 1), (n, 3))
+        u_sky = jax.random.uniform(jax.random.fold_in(kd, 2), (n, 3))
+
+        hit = next_hit(cfg, scene, params, pos, d, tracing, shadow_ray=False)
+        hit_mat = fetch_material(scene.mat_params, hit.mat_id, hit.albedo)
+        finite_closest = jnp.isfinite(hit.closest)
+        hit_pos = pos + jnp.where(finite_closest, hit.closest, 0.0)[..., None] * d
+
+        if depth == 0:
+            primary_normal_oct = jnp.where(
+                tracing[..., None],
+                packing.encode_unit_vector_3x16(hit.normal),
+                primary_normal_oct,
+            )
+            primary_pos = jnp.where(
+                (tracing & finite_closest)[..., None], hit_pos, primary_pos
+            )
+            primary_mat_info = jnp.where(
+                tracing,
+                packing.encode_material(hit.mat_id, hit.albedo),
+                primary_mat_info,
+            )
+            primary_albedo = jnp.where(tracing[..., None], hit.albedo, primary_albedo)
+        elif depth == 1:
+            add_refl = tracing & (first_bounce_lobe_id != LOBE_DIFFUSE)
+            first_bounce_reflection_dist = first_bounce_reflection_dist + jnp.where(
+                add_refl,
+                jnp.where(finite_closest, hit.closest, SKY_REFLECTION_DIST),
+                0.0,
+            )
+
+        surf = tracing & ~hit.hit_light & finite_closest
+        term_sky = tracing & ~hit.hit_light & ~finite_closest
+        term_light = tracing & hit.hit_light & finite_closest
+
+        # --- miss → sky (renderer/pathtracer.py:499-517)
+        hit_sun = (
+            dot(jnp.broadcast_to(params.light_direction, (n, 3)), d)
+            >= params.light_cone_cos_theta_max
+        ).astype(jnp.float32)
+        sky_scatt, sky_trans = sample_sky(cfg, scene, params, d, u_sky)
+        sky_emission = firefly_filter(
+            sky_scatt
+            + sky_trans
+            * cfg.light_weight
+            * params.light_color
+            * hit_sun[..., None],
+            cfg,
+        )
+        contrib = contrib + jnp.where(
+            term_sky[..., None], throughput * sky_emission, 0.0
+        )
+        if depth == 0:
+            is_sky_ray = term_sky
+            primary_pos = jnp.where(term_sky[..., None], 0.0, primary_pos)
+
+        # --- emissive voxel/floor hit terminates (pathtracer.py:518-525)
+        if depth > 0:
+            contrib = contrib + jnp.where(
+                term_light[..., None], throughput * hit.albedo, 0.0
+            )
+
+        tracing = surf
+
+        # --- surface shading (runs at every depth incl. the last: the
+        # reference shades + NEEs before the loop counter expires) ----------
+        spos = hit_pos + hit.normal * EPS
+        view = -d
+        tang, bitang = make_orthonormal_basis(hit.normal)
+
+        nee_visible = jnp.zeros((n,), jnp.float32)
+        if cfg.use_directional_light:
+            light_dir = sample_cone_oriented(
+                params.light_cone_cos_theta_max,
+                jnp.broadcast_to(params.light_direction, (n, 3)),
+                u_nee,
+            )
+            ndl = dot(light_dir, hit.normal)
+            light_sample_bsdf_pdf = pdf_disney(
+                hit_mat, view, hit.normal, light_dir, tang, bitang
+            )
+            if depth == 0:
+                first_light_sample_bsdf_pdf = jnp.where(
+                    surf, light_sample_bsdf_pdf, first_light_sample_bsdf_pdf
+                )
+
+            shadow_mask = surf & (ndl > 0.0)
+            sh = next_hit(cfg, scene, params, spos, light_dir, shadow_mask,
+                          shadow_ray=True)
+            visible = shadow_mask & ~jnp.isfinite(sh.closest)
+            nee_visible = visible.astype(jnp.float32)
+
+            light_mis = jnp.float32(1.0)
+            if depth > 0:
+                light_pdf = cone_sample_pdf(params.light_cone_cos_theta_max, 1.0)
+                light_mis = power_heuristic(light_pdf, light_sample_bsdf_pdf)
+
+            bsdf_d, bsdf_s = disney_evaluate_split(
+                hit_mat, view, hit.normal, light_dir, tang, bitang
+            )
+            strans = sky_transmittance(cfg, scene, light_dir)
+            scale = (
+                light_mis * cfg.light_weight * jnp.maximum(ndl, 0.0)
+            )[..., None] * params.light_color * strans
+            nee_d = bsdf_d * scale
+            nee_s = bsdf_s * scale
+            if depth == 0:
+                first_nee_diffuse = first_nee_diffuse + jnp.where(
+                    visible[..., None], firefly_filter(throughput * nee_d, cfg), 0.0
+                )
+                first_nee_specular = first_nee_specular + jnp.where(
+                    visible[..., None], firefly_filter(throughput * nee_s, cfg), 0.0
+                )
+            else:
+                contrib = contrib + jnp.where(
+                    visible[..., None],
+                    firefly_filter(throughput * (nee_d + nee_s), cfg),
+                    0.0,
+                )
+
+        # --- next bounce (renderer/pathtracer.py:479-497). The reference
+        # samples a bounce at the last depth too, but its result is never
+        # used — skip it here.
+        if depth == cfg.max_ray_depth - 1:
+            break
+        new_d, bsdf, pdf, lobe = sample_disney(hit_mat, view, hit.normal, tang,
+                                               bitang, u_bsdf)
+        bounce_weight = bsdf * saturate(dot(new_d, hit.normal))[..., None]
+        if depth == 0:
+            first_bounce_invpdf = jnp.where(surf, 1.0 / pdf, first_bounce_invpdf)
+            first_bounce_lobe_id = jnp.where(surf, lobe, first_bounce_lobe_id)
+            first_bounce_dir = jnp.where(surf[..., None], new_d, first_bounce_dir)
+        else:
+            bounce_weight = bounce_weight / pdf[..., None]
+            bsdf_light_pdf = cone_sample_pdf(
+                params.light_cone_cos_theta_max,
+                dot(jnp.broadcast_to(params.light_direction, (n, 3)), new_d),
+            )
+            bounce_weight = bounce_weight * power_heuristic(
+                pdf, nee_visible * bsdf_light_pdf
+            )[..., None]
+        throughput = jnp.where(surf[..., None], throughput * bounce_weight,
+                               throughput)
+        d = jnp.where(surf[..., None], new_d, d)
+        pos = jnp.where(surf[..., None], spos, pos)
+        nee_visible_prev = nee_visible
+
+    # --- epilogue (renderer/pathtracer.py:535-632) ---------------------------
+    primary_pos_view = world_to_view(primary_pos, params.view)
+    gbuff_depth = view_to_screen(primary_pos_view, params.proj)[..., 2]
+
+    primary_dir = normalize(primary_pos - params.camera_pos)
+    virtual_point = primary_pos + primary_dir * first_bounce_reflection_dist[..., None]
+    refl_depth = view_to_screen(
+        world_to_view(virtual_point, params.view), params.proj
+    )[..., 2]
+    gbuff_depth_reflection = jnp.where(
+        first_bounce_reflection_dist != 0.0,
+        linearize_depth(refl_depth, params.proj_inv),
+        0.0,
+    )
+
+    # Primary-vertex MIS (renderer/pathtracer.py:556-605), non-ReSTIR path.
+    nee_d_out = first_nee_diffuse
+    nee_s_out = first_nee_specular
+    if cfg.use_directional_light:
+        light_pdf_one = cone_sample_pdf(params.light_cone_cos_theta_max, 1.0)
+        light_sample_mis = power_heuristic(light_pdf_one, first_light_sample_bsdf_pdf)
+        apply = ~is_sky_ray
+        nee_d_out = jnp.where(apply[..., None], nee_d_out * light_sample_mis[..., None],
+                              nee_d_out)
+        nee_s_out = jnp.where(apply[..., None], nee_s_out * light_sample_mis[..., None],
+                              nee_s_out)
+
+    prim_mat_id, prim_albedo_dec = packing.decode_material_word(primary_mat_info)
+    emission = jnp.where((prim_mat_id == 2)[..., None], prim_albedo_dec, 0.0)
+
+    lobe_diff = first_bounce_lobe_id == LOBE_DIFFUSE
+    lobe_spec = first_bounce_lobe_id == LOBE_SPEC_REFL
+    diffuse = (
+        jnp.where(
+            lobe_diff[..., None],
+            contrib * first_bounce_invpdf[..., None] + emission,
+            0.0,
+        )
+        + nee_d_out
+    )
+    specular = (
+        jnp.where(lobe_spec[..., None], contrib * first_bounce_invpdf[..., None], 0.0)
+        + nee_s_out
+    )
+
+    if camera_is_moving:
+        # De-modulate albedo so temporal filtering works on irradiance
+        # (renderer/pathtracer.py:628-631).
+        diffuse = diffuse / jnp.maximum(primary_albedo, 1e-2)
+
+    return dict(
+        diffuse=diffuse.astype(jnp.float32),
+        specular=specular.astype(jnp.float32),
+        inside=inside,
+        gbuff_normals=primary_normal_oct,
+        gbuff_depth=gbuff_depth,
+        gbuff_depth_reflection=gbuff_depth_reflection,
+        gbuff_position=primary_pos,
+        gbuff_mat_id=primary_mat_info,
+    )

@@ -1,0 +1,191 @@
+"""Renderer: buffer state + the jitted progressive accumulate step.
+
+Functional counterpart of the reference's ``Renderer`` class
+(renderer/pathtracer.py:27-1334): all mutable GPU state (color/history
+buffers, G-buffer, matrices) lives in an explicit :class:`RenderState`
+pytree; ``accumulate`` is a pure jitted step mirroring
+renderer/pathtracer.py:1310-1319 (render → [spatial GRIS] → temporal
+prepass → temporal filter → specular temporal filter).
+
+The reference's two-level 16×8 tiled buffer layout (pathtracer.py:71-81) is
+a GPU divergence optimization with no TPU analogue — buffers here are plain
+(W, H, C) arrays and XLA picks layouts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxelrt.ops.tonemap import render_to_image
+from voxelrt.render import temporal
+from voxelrt.render.pathtracer import RenderParams, SceneData, trace_sample
+
+
+class RenderState(NamedTuple):
+    """All frame-persistent buffers (renderer/pathtracer.py:39-133)."""
+
+    color: jax.Array  # (W, H, 3) diffuse+final radiance
+    color_spec: jax.Array  # (W, H, 3)
+    history: jax.Array  # (W, H, 4)
+    history_spec: jax.Array  # (W, H, 4)
+    history_spec_depth: jax.Array  # (W, H)
+    gbuff_normals: jax.Array  # (W, H, 2) f16 octahedral
+    gbuff_depth: jax.Array  # (W, H)
+    gbuff_depth_reflection: jax.Array  # (W, H)
+    gbuff_position: jax.Array  # (W, H, 3)
+    gbuff_mat_id: jax.Array  # (W, H) u32
+    gbuff_prev_depth: jax.Array  # (W, H)
+    gbuff_prev_normals: jax.Array  # (W, H, 2) f16
+    reservoirs: Any  # ReSTIR storage (None when disabled)
+    spp: jax.Array  # () i32
+    frame: jax.Array  # () i32
+
+
+def init_state(cfg) -> RenderState:
+    w, h = cfg.image_res
+    f = jnp.zeros
+    reservoirs = None
+    if cfg.use_restir_pt:
+        from voxelrt.render.restir import init_reservoir_storage
+
+        reservoirs = init_reservoir_storage(cfg)
+    return RenderState(
+        color=f((w, h, 3), jnp.float32),
+        color_spec=f((w, h, 3), jnp.float32),
+        history=f((w, h, 4), jnp.float32),
+        history_spec=f((w, h, 4), jnp.float32),
+        history_spec_depth=f((w, h), jnp.float32),
+        gbuff_normals=f((w, h, 2), jnp.float16),
+        gbuff_depth=f((w, h), jnp.float32),
+        gbuff_depth_reflection=f((w, h), jnp.float32),
+        gbuff_position=f((w, h, 3), jnp.float32),
+        gbuff_mat_id=f((w, h), jnp.uint32),
+        gbuff_prev_depth=f((w, h), jnp.float32),
+        gbuff_prev_normals=f((w, h, 2), jnp.float16),
+        reservoirs=reservoirs,
+        spp=jnp.int32(0),
+        frame=jnp.int32(0),
+    )
+
+
+def reset_framebuffer(state: RenderState) -> RenderState:
+    """renderer/pathtracer.py:664-668."""
+    return state._replace(
+        history=jnp.zeros_like(state.history),
+        history_spec=jnp.zeros_like(state.history_spec),
+        history_spec_depth=jnp.zeros_like(state.history_spec_depth),
+        spp=jnp.int32(0),
+    )
+
+
+def _pixel_grid(cfg):
+    w, h = cfg.image_res
+    u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[:, None], (w, h))
+    v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[None, :], (w, h))
+    return u.reshape(-1), v.reshape(-1)
+
+
+def accumulate(cfg, scene: SceneData, params: RenderParams,
+               state: RenderState, key, camera_is_moving: bool,
+               render_scale: float) -> RenderState:
+    """One progressive sample for every pixel (renderer/pathtracer.py:1310-1319).
+
+    Static args: cfg, camera_is_moving, render_scale.
+    """
+    w, h = cfg.image_res
+    u, v = _pixel_grid(cfg)
+    out = trace_sample(cfg, scene, params, key, u, v,
+                       camera_is_moving, render_scale)
+
+    def img(x, ch=None):
+        return x.reshape((w, h) if ch is None else (w, h, ch))
+
+    inside = img(out["inside"])
+    sel = lambda new, old: jnp.where(
+        inside[..., None] if new.ndim == 3 else inside, new, old
+    )
+
+    color = sel(img(out["diffuse"], 3), state.color)
+    color_spec = sel(img(out["specular"], 3), state.color_spec)
+    gbuffer = dict(
+        normals=sel(img(out["gbuff_normals"], 2), state.gbuff_normals),
+        depth=sel(img(out["gbuff_depth"]), state.gbuff_depth),
+        depth_reflection=sel(img(out["gbuff_depth_reflection"]),
+                             state.gbuff_depth_reflection),
+        position=sel(img(out["gbuff_position"], 3), state.gbuff_position),
+        mat_id=sel(img(out["gbuff_mat_id"]), state.gbuff_mat_id),
+        prev_depth=state.gbuff_prev_depth,
+        prev_normals=state.gbuff_prev_normals,
+    )
+
+    reservoirs = state.reservoirs
+    if cfg.use_restir_pt:
+        from voxelrt.render.restir import spatial_gris
+
+        color, color_spec, reservoirs = spatial_gris(
+            cfg, scene, params, out, color, color_spec, gbuffer,
+            state.frame, jax.random.fold_in(key, 7777),
+            camera_is_moving, render_scale,
+        )
+
+    color, color_spec, spec_mean, spec_stdev, refl_depth = (
+        temporal.temporal_prepass(
+            cfg, color, color_spec, gbuffer["depth_reflection"], render_scale
+        )
+    )
+    gbuffer["depth_reflection"] = refl_depth
+
+    color, history = temporal.temporal_filter(
+        cfg, params, color, state.history, gbuffer, render_scale,
+        camera_is_moving,
+    )
+    color, history_spec, history_spec_depth = temporal.temporal_filter_specular(
+        cfg, params, color, color_spec, state.history_spec,
+        state.history_spec_depth, gbuffer, render_scale, camera_is_moving,
+    )
+
+    return RenderState(
+        color=color,
+        color_spec=color_spec,
+        history=history,
+        history_spec=history_spec,
+        history_spec_depth=history_spec_depth,
+        gbuff_normals=gbuffer["normals"],
+        gbuff_depth=gbuffer["depth"],
+        gbuff_depth_reflection=gbuffer["depth_reflection"],
+        gbuff_position=gbuffer["position"],
+        gbuff_mat_id=gbuffer["mat_id"],
+        gbuff_prev_depth=gbuffer["depth"],
+        gbuff_prev_normals=gbuffer["normals"],
+        reservoirs=reservoirs,
+        spp=state.spp + 1,
+        frame=state.frame + 1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "camera_is_moving", "render_scale", "n_samples"),
+    donate_argnames=("state",),
+)
+def accumulate_n(cfg, scene, params, state, key, camera_is_moving,
+                 render_scale, n_samples: int):
+    """Run ``n_samples`` accumulate steps inside one jitted call — amortizes
+    the per-dispatch overhead (34 ms on the tunneled TPU, PERF_NOTES.md)."""
+
+    def step(i, st):
+        return accumulate(cfg, scene, params, st, jax.random.fold_in(key, i),
+                          camera_is_moving, render_scale)
+
+    return jax.lax.fori_loop(0, n_samples, step, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "render_scale"))
+def fetch_image(cfg, state: RenderState, exposure, render_scale):
+    """Tonemapped LDR image (renderer/pathtracer.py:1321-1323, 634-662)."""
+    return render_to_image(state.color, cfg, exposure, render_scale)
