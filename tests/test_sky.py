@@ -1,0 +1,88 @@
+"""Sky/atmosphere unit tests (cheap parts only; the full precompute is
+exercised by the example6 integration path)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from voxelrt.config import RenderConfig
+from voxelrt.sky import atmos
+
+
+def test_project_unproject_roundtrip():
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(500, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    res = 256
+    uv = atmos.project_sky(d, res)
+    d2 = np.asarray(atmos.unproject_sky(uv, res))
+    dots = np.sum(d2 * np.asarray(d), axis=1)
+    assert dots.min() > 0.9995, dots.min()
+
+
+def test_rsi():
+    pos = jnp.asarray([[0.0, 5.0, 0.0], [0.0, 20.0, 0.0]])
+    dir = jnp.asarray([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+    near, far = atmos.rsi(pos, dir, 10.0)
+    near, far = np.asarray(near), np.asarray(far)
+    assert far[0] == pytest.approx(5.0)   # inside, exits at +10
+    assert near[0] == pytest.approx(-15.0)
+    assert near[1] == -1.0 and far[1] == -1.0  # miss
+
+
+def test_density_profile():
+    h = jnp.asarray([0.0, 8500.0, 25000.0, 100000.0])
+    d = np.asarray(atmos.get_density(h))
+    assert d[0, 0] == pytest.approx(1.0)
+    assert d[1, 0] == pytest.approx(np.exp(-1.0), rel=1e-5)
+    # ozone peaks near 25 km
+    assert d[2, 2] > d[0, 2] and d[2, 2] > d[3, 2]
+
+
+def test_phase_normalization():
+    """Rayleigh and HG phases integrate to 1 over the sphere."""
+    n = 200_000
+    rng = np.random.default_rng(1)
+    mu = jnp.asarray(rng.uniform(-1, 1, n), jnp.float32)
+    for f in (atmos.rayleigh_phase, lambda m: atmos.mie_phase(m, 0.75)):
+        vals = np.asarray(f(mu))
+        integral = vals.mean() * 4 * np.pi  # uniform-mu sampling == sphere
+        assert integral == pytest.approx(1.0, rel=0.02), integral
+
+
+def test_sun_transmittance_vs_lut_reference():
+    """Quadrature transmittance tracks the reference's 128-step LUT bake
+    within a few percent (the two discretize the same integral)."""
+    lut = jax.jit(atmos.generate_transmittance_lut)()
+    ct = jnp.asarray([0.95, 0.6, 0.2])
+    h = jnp.asarray([0.0, 1000.0, 30000.0])
+    pos = jnp.stack([jnp.zeros(3), atmos.PLANET_R + h, jnp.zeros(3)], -1)
+    st = jnp.sin(jnp.arccos(ct))
+    d = jnp.stack([st, ct, jnp.zeros(3)], -1)
+    qa = np.asarray(atmos.sun_transmittance(pos, d))
+    lu = np.asarray(atmos.read_trans_lut(lut, ct, h))
+    assert np.abs(qa - lu).max() < 0.05, (qa, lu)
+
+
+def test_cloud_density_field():
+    """Procedural cloud field: in-layer gating, threshold sparsity."""
+    rng = np.random.default_rng(2)
+    n = 20000
+    xz = rng.uniform(-30000, 30000, (n, 2)).astype(np.float32)
+    h_in = atmos.PLANET_R + atmos.CLOUD_HEIGHT + atmos.CLOUD_THICKNESS * 0.3
+    h_out = atmos.PLANET_R + 100.0
+    pin = jnp.stack([xz[:, 0], np.full(n, h_in, np.float32), xz[:, 1]], -1)
+    pout = jnp.stack([xz[:, 0], np.full(n, h_out, np.float32), xz[:, 1]], -1)
+    din = np.asarray(atmos.sample_cloud_density(pin))
+    dout = np.asarray(atmos.sample_cloud_density(pout))
+    assert (dout == 0).all()
+    frac = (din > 0).mean()
+    assert 0.005 < frac < 0.6, frac  # broken cloud cover, not solid/empty
+    assert din.max() <= atmos.CLOUD_DENSITY + 1e-6
+
+    # tiling: density is periodic with the 29 km tile
+    p2 = pin.at[:, 0].add(29000.0)
+    din2 = np.asarray(atmos.sample_cloud_density(p2))
+    assert np.allclose(din, din2)

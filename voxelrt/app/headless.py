@@ -15,8 +15,32 @@ from voxelrt.render import pipeline
 from voxelrt.render.pathtracer import RenderParams, SceneData
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache — the reference leans on Taichi's
+    offline_cache=True (scene.py:114) for the same reason (42.7 s compiles,
+    profile.log:2)."""
+    import os
+
+    try:
+        cache = os.environ.get(
+            "VOXELRT_XLA_CACHE", os.path.expanduser("~/.cache/voxelrt/xla")
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 class HeadlessRenderer:
     def __init__(self, cfg, scene, seed=0, quiet=False):
+        enable_compile_cache()
+        # Traversal backend auto-selection: the Pallas VMEM kernel on real
+        # TPU, the portable XLA path elsewhere (unless explicitly set).
+        import dataclasses
+
+        if not cfg.use_pallas_dda and jax.default_backend() not in ("cpu", "gpu"):
+            cfg = dataclasses.replace(cfg, use_pallas_dda=True)
         self.cfg = cfg
         self.scene = scene
         self.quiet = quiet
@@ -44,11 +68,21 @@ class HeadlessRenderer:
                 float(self.scene._light_cone_cos_theta_max),
                 quiet=self.quiet,
             )
+        tables = None
+        if self.cfg.use_pallas_dda:
+            from voxelrt.ops.accel import build_pallas_tables
+
+            tables = build_pallas_tables(
+                self.scene.world.material,
+                np.asarray(jax.device_get(arrays["voxels"])),
+                self.cfg.grid_res,
+            )
         self.scene_data = SceneData(
             occ_words=arrays["occ_words"],
             voxels=arrays["voxels"],
             mat_params=self.mats.params,
             sky=sky,
+            tables=tables,
         )
         self.state = pipeline.init_state(self.cfg)
         self._frame = 0

@@ -47,6 +47,13 @@ class RenderConfig:
     # Traversal bound (renderer/raytracer.py:103).
     max_dda_advances: int = 512
 
+    # Traversal backend: the Pallas VMEM kernel (ops/dda_pallas.py) or the
+    # portable XLA implementation (ops/dda.py). Auto-selected by the app
+    # shell: Pallas on TPU, portable elsewhere. `pallas_interpret` runs the
+    # kernel in interpreter mode (CPU tests of the production path).
+    use_pallas_dda: bool = False
+    pallas_interpret: bool = False
+
     # Vignette (renderer/pathtracer.py:32-34).
     vignette_strength: float = 0.9
     vignette_radius: float = 0.0

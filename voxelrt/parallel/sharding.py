@@ -1,0 +1,120 @@
+"""Multi-chip rendering over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.9 — no collectives of any
+kind exist upstream); the TPU-native scale-out design is:
+
+  * **dp axis** — shard the image over pixel rows. The scene (occupancy
+    pyramid + packed voxels + palette + skybox, ~10-40 MB) is replicated:
+    at 128³ it is thousands of times smaller than the per-pixel state, so
+    image-space sharding with a replicated world is the right layout; the
+    collectives ride ICI only for halo exchange in the temporal window
+    filters (GSPMD inserts those automatically).
+  * **sp axis** — shard progressive samples: each sp-slice traces its own
+    sample subset with decorrelated keys, then a `psum`/mean over 'sp'
+    merges them. This is the "samples-per-pixel" scale axis called out in
+    SURVEY.md §5.
+
+Two entry points:
+  * :func:`sharded_accumulate_n` — the FULL progressive step (render +
+    temporal pipeline) jitted with pixel sharding; XLA/GSPMD partitions it.
+  * :func:`parallel_render` — explicit shard_map over a ('dp', 'sp') mesh
+    doing plain-average rendering with a psum over 'sp' (no temporal
+    filtering; used for throughput scaling + the multi-chip dryrun).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from voxelrt.render import pipeline
+from voxelrt.render.pathtracer import trace_sample
+
+
+def make_mesh(devices=None, dp=None, sp=1):
+    """Build a ('dp', 'sp') mesh over the given (or all) devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // sp
+    assert dp * sp == n, (dp, sp, n)
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def shard_state(state: pipeline.RenderState, mesh: Mesh) -> pipeline.RenderState:
+    """Place every (W, H, ...) buffer with rows sharded over 'dp'."""
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            spec = P("dp", *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, state)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )
+
+
+def sharded_accumulate_n(cfg, scene, params, state, key, camera_is_moving,
+                         render_scale, n_samples, mesh):
+    """Full progressive step with the image sharded over 'dp' (GSPMD)."""
+    scene = replicate(scene, mesh)
+    params = replicate(params, mesh)
+    state = shard_state(state, mesh)
+    return pipeline.accumulate_n(
+        cfg, scene, params, state, key, camera_is_moving, render_scale,
+        n_samples,
+    )
+
+
+def parallel_render(cfg, scene, params, key, spp, mesh,
+                    camera_is_moving=False, render_scale=1.0):
+    """Plain-average render of ``spp`` samples over the ('dp', 'sp') mesh.
+
+    Each (dp, sp) shard traces its pixel rows for spp/|sp| samples;
+    a mean over 'sp' merges sample subsets. Returns the (W, H, 3) HDR image
+    (diffuse + specular), sharded over rows.
+    """
+    w, h = cfg.image_res
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    assert w % dp == 0, (w, dp)
+    assert spp % sp == 0, (spp, sp)
+    local_spp = spp // sp
+
+    u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[:, None], (w, h))
+    v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[None, :], (w, h))
+
+    def shard_fn(scene, params, u, v, key):
+        sp_idx = jax.lax.axis_index("sp")
+        uf = u.reshape(-1)
+        vf = v.reshape(-1)
+
+        def body(i, acc):
+            k = jax.random.fold_in(jax.random.fold_in(key, sp_idx), i)
+            out = trace_sample(cfg, scene, params, k, uf, vf,
+                               camera_is_moving, render_scale)
+            return acc + out["diffuse"] + out["specular"]
+
+        acc = jax.lax.fori_loop(
+            0, local_spp, body, jnp.zeros((uf.shape[0], 3), jnp.float32)
+        )
+        acc = jax.lax.pmean(acc / local_spp, axis_name="sp")
+        return acc.reshape(u.shape + (3,))
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp", None), P("dp", None), P()),
+        out_specs=P("dp", None, None),
+    )
+    return fn(replicate(scene, mesh), replicate(params, mesh), u, v, key)

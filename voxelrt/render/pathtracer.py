@@ -73,6 +73,7 @@ class SceneData(NamedTuple):
     voxels: jax.Array  # u32[res³] z-major: r | g<<8 | b<<16 | mat<<24
     mat_params: jax.Array  # f32[128, 14] Disney palette
     sky: Any = None  # SkyData when physical sky enabled
+    tables: Any = None  # ops.accel.PallasTables when use_pallas_dda
 
 
 class RenderParams(NamedTuple):
@@ -103,15 +104,19 @@ def firefly_filter(v, cfg):
     return jnp.clip(v, 0.0, cfg.radiance_clamp)
 
 
-def fetch_voxel_surface(cfg, scene, ipos, uv):
+def fetch_voxel_surface(cfg, scene, ipos, uv, color_word=None):
     """Voxel surface color + edge darkening (renderer/voxel_world.py:34-56).
 
     ipos: (N, 3) grid-space cell index in [0, res); uv: (N, 3) in-cell frac.
-    Returns (color, is_light, mat_id).
+    ``color_word`` short-circuits the grid gather when the traversal kernel
+    already fetched the packed voxel word. Returns (color, is_light, mat_id).
     """
     res = cfg.grid_res
-    flat = (ipos[..., 2] * res + ipos[..., 1]) * res + ipos[..., 0]
-    word = jnp.take(scene.voxels, jnp.maximum(flat, 0), axis=0, mode="clip")
+    if color_word is not None:
+        word = color_word.astype(jnp.uint32)
+    else:
+        flat = (ipos[..., 2] * res + ipos[..., 1]) * res + ipos[..., 0]
+        word = jnp.take(scene.voxels, jnp.maximum(flat, 0), axis=0, mode="clip")
     mat_id = (word >> 24).astype(jnp.int32)
     color = (
         jnp.stack([word & 0xFF, (word >> 8) & 0xFF, (word >> 16) & 0xFF], axis=-1)
@@ -169,9 +174,20 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool) -> Hit:
     inv_size = 1.0 / cfg.voxel_dx
     offset = cfg.grid_offset
     eye_scaled = pos * inv_size - offset  # world_to_voxel (pathtracer.py:165-167)
-    pyr = OccupancyPyramid(scene.occ_words, cfg.grid_res, cfg.n_lods)
     tmax = jnp.where(mask, jnp.float32(INF), 0.0)
-    tr = raytrace(pyr, eye_scaled, d, EPS, tmax, cfg.max_dda_advances)
+    color_word = None
+    if cfg.use_pallas_dda:
+        from voxelrt.ops.dda_pallas import raytrace_pallas
+
+        tr = raytrace_pallas(
+            scene.tables, eye_scaled, d, EPS, tmax, cfg.grid_res,
+            cfg.max_dda_advances, fetch_colors=not shadow_ray,
+            interpret=cfg.pallas_interpret,
+        )
+        color_word = tr.color_word
+    else:
+        pyr = OccupancyPyramid(scene.occ_words, cfg.grid_res, cfg.n_lods)
+        tr = raytrace(pyr, eye_scaled, d, EPS, tmax, cfg.max_dda_advances)
     vox_dist = tr.distance * cfg.voxel_dx
     vox_ok = mask & (vox_dist < closest)
     closest = jnp.where(vox_ok, vox_dist, closest)
@@ -181,7 +197,9 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool) -> Hit:
             0.0,
             1.0,
         )
-        color, v_is_light, v_mat = fetch_voxel_surface(cfg, scene, tr.ipos, uv)
+        color, v_is_light, v_mat = fetch_voxel_surface(
+            cfg, scene, tr.ipos, uv, color_word=color_word
+        )
         normal = jnp.where(vox_ok[..., None], tr.normal, normal)
         albedo = jnp.where(vox_ok[..., None], color, albedo)
         hit_light = jnp.where(vox_ok, v_is_light, hit_light)
@@ -259,7 +277,17 @@ def trace_sample(cfg, scene, params, key, u, v,
     is_sky_ray = jnp.zeros((n,), jnp.bool_)
 
     tracing = inside  # rays still walking the bounce loop
-    nee_visible_prev = jnp.zeros((n,), jnp.float32)
+
+    # ReSTIR-PT input-sample state (renderer/pathtracer.py:336-347, 381-391);
+    # only materialized when the feature is compiled in.
+    if cfg.use_restir_pt:
+        rc = dict(
+            rc_pos=f3(), rc_normal=f3(), rc_incident_dir=f3(),
+            rc_incident_L=f3(), rc_NEE_dir=f3(),
+            rc_mat_info=jnp.zeros((n,), jnp.uint32),
+        )
+        throughput_after_rc = jnp.ones((n, 3), jnp.float32)
+        rc_bounce_lobe_id = jnp.zeros((n,), jnp.int32)
 
     for depth in range(cfg.max_ray_depth):
         kd = jax.random.fold_in(key, depth)
@@ -294,6 +322,21 @@ def trace_sample(cfg, scene, params, key, u, v,
                 jnp.where(finite_closest, hit.closest, SKY_REFLECTION_DIST),
                 0.0,
             )
+            if cfg.use_restir_pt:
+                # rc vertex capture (renderer/pathtracer.py:409-414).
+                t3 = tracing[..., None]
+                rc["rc_pos"] = jnp.where(t3, hit_pos, rc["rc_pos"])
+                rc["rc_normal"] = jnp.where(t3, hit.normal, rc["rc_normal"])
+                rc["rc_mat_info"] = jnp.where(
+                    tracing, packing.encode_material(hit.mat_id, hit.albedo),
+                    rc["rc_mat_info"],
+                )
+        elif depth == 2:
+            if cfg.use_restir_pt:
+                # renderer/pathtracer.py:416-417.
+                rc["rc_incident_dir"] = jnp.where(
+                    tracing[..., None], d, rc["rc_incident_dir"]
+                )
 
         surf = tracing & ~hit.hit_light & finite_closest
         term_sky = tracing & ~hit.hit_light & ~finite_closest
@@ -319,11 +362,31 @@ def trace_sample(cfg, scene, params, key, u, v,
         if depth == 0:
             is_sky_ray = term_sky
             primary_pos = jnp.where(term_sky[..., None], 0.0, primary_pos)
+        if cfg.use_restir_pt:
+            if depth == 1:
+                # Escape at the rc vertex: rc_pos becomes a direction and
+                # rc_incident_L the sky color (renderer/pathtracer.py:512-514).
+                rc["rc_pos"] = jnp.where(term_sky[..., None], d, rc["rc_pos"])
+                rc["rc_incident_L"] = jnp.where(
+                    term_sky[..., None], sky_emission, rc["rc_incident_L"]
+                )
+            if depth >= 2:
+                rc["rc_incident_L"] = rc["rc_incident_L"] + jnp.where(
+                    term_sky[..., None],
+                    firefly_filter(throughput_after_rc * sky_emission, cfg),
+                    0.0,
+                )
 
         # --- emissive voxel/floor hit terminates (pathtracer.py:518-525)
         if depth > 0:
             contrib = contrib + jnp.where(
                 term_light[..., None], throughput * hit.albedo, 0.0
+            )
+        if cfg.use_restir_pt and depth >= 2:
+            rc["rc_incident_L"] = rc["rc_incident_L"] + jnp.where(
+                term_light[..., None],
+                firefly_filter(throughput_after_rc * hit.albedo, cfg),
+                0.0,
             )
 
         tracing = surf
@@ -383,6 +446,19 @@ def trace_sample(cfg, scene, params, key, u, v,
                     firefly_filter(throughput * (nee_d + nee_s), cfg),
                     0.0,
                 )
+            if cfg.use_restir_pt:
+                if depth == 1:
+                    # renderer/pathtracer.py:454-455.
+                    rc["rc_NEE_dir"] = jnp.where(
+                        visible[..., None], light_dir, rc["rc_NEE_dir"]
+                    )
+                if depth >= 2:
+                    # renderer/pathtracer.py:475-476 (no firefly clamp here).
+                    rc["rc_incident_L"] = rc["rc_incident_L"] + jnp.where(
+                        visible[..., None],
+                        throughput_after_rc * (nee_d + nee_s),
+                        0.0,
+                    )
 
         # --- next bounce (renderer/pathtracer.py:479-497). The reference
         # samples a bounce at the last depth too, but its result is never
@@ -396,6 +472,10 @@ def trace_sample(cfg, scene, params, key, u, v,
             first_bounce_invpdf = jnp.where(surf, 1.0 / pdf, first_bounce_invpdf)
             first_bounce_lobe_id = jnp.where(surf, lobe, first_bounce_lobe_id)
             first_bounce_dir = jnp.where(surf[..., None], new_d, first_bounce_dir)
+            if cfg.use_directional_light:
+                first_light_sample_dir = jnp.where(
+                    surf[..., None], light_dir, f3()
+                )
         else:
             bounce_weight = bounce_weight / pdf[..., None]
             bsdf_light_pdf = cone_sample_pdf(
@@ -405,11 +485,18 @@ def trace_sample(cfg, scene, params, key, u, v,
             bounce_weight = bounce_weight * power_heuristic(
                 pdf, nee_visible * bsdf_light_pdf
             )[..., None]
+        if cfg.use_restir_pt:
+            if depth == 1:
+                rc_bounce_lobe_id = jnp.where(surf, lobe, rc_bounce_lobe_id)
+            if depth >= 2:
+                throughput_after_rc = jnp.where(
+                    surf[..., None], throughput_after_rc * bounce_weight,
+                    throughput_after_rc,
+                )
         throughput = jnp.where(surf[..., None], throughput * bounce_weight,
                                throughput)
         d = jnp.where(surf[..., None], new_d, d)
         pos = jnp.where(surf[..., None], spos, pos)
-        nee_visible_prev = nee_visible
 
     # --- epilogue (renderer/pathtracer.py:535-632) ---------------------------
     primary_pos_view = world_to_view(primary_pos, params.view)
@@ -426,42 +513,135 @@ def trace_sample(cfg, scene, params, key, u, v,
         0.0,
     )
 
-    # Primary-vertex MIS (renderer/pathtracer.py:556-605), non-ReSTIR path.
+    # Primary-vertex MIS (renderer/pathtracer.py:556-605).
+    from voxelrt.ops.sampling import luminance
+
     nee_d_out = first_nee_diffuse
     nee_s_out = first_nee_specular
+    chose_nee = jnp.zeros((n,), jnp.bool_)
+    reservoir = None
     if cfg.use_directional_light:
         light_pdf_one = cone_sample_pdf(params.light_cone_cos_theta_max, 1.0)
         light_sample_mis = power_heuristic(light_pdf_one, first_light_sample_bsdf_pdf)
         apply = ~is_sky_ray
-        nee_d_out = jnp.where(apply[..., None], nee_d_out * light_sample_mis[..., None],
-                              nee_d_out)
-        nee_s_out = jnp.where(apply[..., None], nee_s_out * light_sample_mis[..., None],
-                              nee_s_out)
+        if not cfg.use_restir_pt:
+            nee_d_out = jnp.where(
+                apply[..., None], nee_d_out * light_sample_mis[..., None], nee_d_out
+            )
+            nee_s_out = jnp.where(
+                apply[..., None], nee_s_out * light_sample_mis[..., None], nee_s_out
+            )
+
+    if cfg.use_restir_pt:
+        # Build the input reservoir (renderer/pathtracer.py:549-607).
+        z = dict(rc)
+        z["F"] = contrib
+        z["lobes"] = rc_bounce_lobe_id * 10 + first_bounce_lobe_id
+        dir_x1x2 = z["rc_pos"] - primary_pos
+        denom = jnp.abs(dot(normalize(dir_x1x2), z["rc_normal"]))
+        z["cached_jacobian_term"] = dot(dir_x1x2, dir_x1x2) / jnp.maximum(
+            denom, 1e-20
+        )
+        res_m = jnp.ones((n,), jnp.float32)
+        res_weight = jnp.zeros((n,), jnp.float32)
+
+        if cfg.use_directional_light:
+            bsdf_pdf0 = 1.0 / first_bounce_invpdf
+            bsdf_light_pdf0 = cone_sample_pdf(
+                params.light_cone_cos_theta_max,
+                dot(jnp.broadcast_to(params.light_direction, (n, 3)),
+                    first_bounce_dir),
+            )
+            bsdf_light_pdf0 = jnp.where(
+                is_vec_zero(first_nee_diffuse + first_nee_specular),
+                0.0, bsdf_light_pdf0,
+            )
+            bsdf_mis = power_heuristic(bsdf_pdf0, bsdf_light_pdf0)
+            p_hat = luminance(z["F"])
+            res_weight = bsdf_mis * p_hat * first_bounce_invpdf
+
+            light_sample_weight = light_sample_mis * luminance(
+                first_nee_diffuse + first_nee_specular
+            )
+            # WRS input of the NEE sample (renderer/pathtracer.py:588-598,
+            # reservoir.py:65-74) — vectorized.
+            u_wrs = jax.random.uniform(jax.random.fold_in(key, 991), (n,))
+            new_weight = res_weight + light_sample_weight
+            sel = (light_sample_weight > 0.0) & (
+                u_wrs * new_weight <= light_sample_weight
+            )
+            sel = sel & apply
+            strans0 = sky_transmittance(cfg, scene, first_light_sample_dir)
+            light_z = dict(
+                F=first_nee_diffuse + first_nee_specular,
+                rc_pos=first_light_sample_dir,
+                rc_normal=f3(),
+                rc_incident_dir=f3(),
+                rc_incident_L=strans0 * cfg.light_weight * params.light_color,
+                rc_NEE_dir=f3(),
+                rc_mat_info=jnp.zeros((n,), jnp.uint32),
+                cached_jacobian_term=jnp.ones((n,), jnp.float32),
+                lobes=jnp.full((n,), 99, jnp.int32),
+            )
+            for k in z:
+                lz = light_z[k]
+                z[k] = jnp.where(sel[..., None] if z[k].ndim == 2 else sel,
+                                 lz.astype(z[k].dtype), z[k])
+            res_weight = jnp.where(
+                apply & (light_sample_weight > 0.0), new_weight, res_weight
+            )
+            res_m = jnp.where(apply, 2.0, res_m)  # input_sample does M += 1
+            chose_nee = sel
+        else:
+            res_weight = luminance(contrib) * first_bounce_invpdf
+
+        # finalize_without_M (reservoir.py:96-102) for non-sky rays.
+        p_hat_final = luminance(z["F"])
+        fin = jnp.where(p_hat_final < 1e-6, 0.0,
+                        res_weight / jnp.maximum(p_hat_final, 1e-20))
+        res_weight = jnp.where(is_sky_ray, 1.0, fin)
+        reservoir = dict(z, M=res_m, weight=res_weight)
 
     prim_mat_id, prim_albedo_dec = packing.decode_material_word(primary_mat_info)
     emission = jnp.where((prim_mat_id == 2)[..., None], prim_albedo_dec, 0.0)
 
     lobe_diff = first_bounce_lobe_id == LOBE_DIFFUSE
     lobe_spec = first_bounce_lobe_id == LOBE_SPEC_REFL
-    diffuse = (
-        jnp.where(
-            lobe_diff[..., None],
-            contrib * first_bounce_invpdf[..., None] + emission,
-            0.0,
+    if not cfg.use_restir_pt:
+        diffuse = (
+            jnp.where(
+                lobe_diff[..., None],
+                contrib * first_bounce_invpdf[..., None] + emission,
+                0.0,
+            )
+            + nee_d_out
         )
-        + nee_d_out
-    )
-    specular = (
-        jnp.where(lobe_spec[..., None], contrib * first_bounce_invpdf[..., None], 0.0)
-        + nee_s_out
-    )
+        specular = (
+            jnp.where(lobe_spec[..., None],
+                      contrib * first_bounce_invpdf[..., None], 0.0)
+            + nee_s_out
+        )
+    else:
+        # renderer/pathtracer.py:620-626: the chosen input-sample integrand,
+        # unweighted (the GRIS pass applies the reservoir weight).
+        diffuse = jnp.where(
+            chose_nee[..., None],
+            first_nee_diffuse,
+            jnp.where(lobe_diff[..., None], reservoir["F"], 0.0),
+        )
+        specular = jnp.where(
+            chose_nee[..., None],
+            first_nee_specular,
+            jnp.where(lobe_spec[..., None], reservoir["F"], 0.0),
+        )
 
-    if camera_is_moving:
+    if camera_is_moving and not cfg.use_restir_pt:
         # De-modulate albedo so temporal filtering works on irradiance
-        # (renderer/pathtracer.py:628-631).
+        # (renderer/pathtracer.py:628-631; with ReSTIR on, demodulation
+        # happens at the end of the GRIS pass instead).
         diffuse = diffuse / jnp.maximum(primary_albedo, 1e-2)
 
-    return dict(
+    out = dict(
         diffuse=diffuse.astype(jnp.float32),
         specular=specular.astype(jnp.float32),
         inside=inside,
@@ -471,3 +651,6 @@ def trace_sample(cfg, scene, params, key, u, v,
         gbuff_position=primary_pos,
         gbuff_mat_id=primary_mat_info,
     )
+    if cfg.use_restir_pt:
+        out["reservoir"] = reservoir
+    return out

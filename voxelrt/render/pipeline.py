@@ -19,7 +19,6 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from voxelrt.ops.tonemap import render_to_image
 from voxelrt.render import temporal
@@ -83,11 +82,48 @@ def reset_framebuffer(state: RenderState) -> RenderState:
     )
 
 
-def _pixel_grid(cfg):
+TILE_W, TILE_H = 16, 8  # the reference's interleave (pathtracer.py:71-81)
+
+
+def _use_tiles(cfg):
     w, h = cfg.image_res
+    return w % TILE_W == 0 and h % TILE_H == 0
+
+
+def _pixel_grid(cfg):
+    """Flattened pixel coordinates in 16×8-tile order when divisible.
+
+    The reference tiles its buffers 16×8 to cut warp divergence
+    (renderer/pathtracer.py:71-81); here the same interleave makes each
+    1024-ray traversal block a tight screen tile, which keeps the Pallas
+    kernel's table-scan fetches range-limited.
+    """
+    w, h = cfg.image_res
+    if _use_tiles(cfg):
+        tx = jnp.arange(w // TILE_W)
+        ty = jnp.arange(h // TILE_H)
+        i = jnp.arange(TILE_W)
+        j = jnp.arange(TILE_H)
+        u = (tx[:, None, None, None] * TILE_W + i[None, None, :, None])
+        v = (ty[None, :, None, None] * TILE_H + j[None, None, None, :])
+        shape = (w // TILE_W, h // TILE_H, TILE_W, TILE_H)
+        u = jnp.broadcast_to(u, shape).reshape(-1).astype(jnp.float32)
+        v = jnp.broadcast_to(v, shape).reshape(-1).astype(jnp.float32)
+        return u, v
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[:, None], (w, h))
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[None, :], (w, h))
     return u.reshape(-1), v.reshape(-1)
+
+
+def _untile(cfg, x):
+    """Inverse of the tile ordering: (N, ...) -> (W, H, ...)."""
+    w, h = cfg.image_res
+    rest = x.shape[1:]
+    if _use_tiles(cfg):
+        x = x.reshape((w // TILE_W, h // TILE_H, TILE_W, TILE_H) + rest)
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape((w, h) + rest)
+    return x.reshape((w, h) + rest)
 
 
 def accumulate(cfg, scene: SceneData, params: RenderParams,
@@ -103,7 +139,8 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
                        camera_is_moving, render_scale)
 
     def img(x, ch=None):
-        return x.reshape((w, h) if ch is None else (w, h, ch))
+        del ch
+        return _untile(cfg, x)
 
     inside = img(out["inside"])
     sel = lambda new, old: jnp.where(
@@ -127,8 +164,9 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
     if cfg.use_restir_pt:
         from voxelrt.render.restir import spatial_gris
 
+        reservoir_img = {k: _untile(cfg, v) for k, v in out["reservoir"].items()}
         color, color_spec, reservoirs = spatial_gris(
-            cfg, scene, params, out, color, color_spec, gbuffer,
+            cfg, scene, params, reservoir_img, color, color_spec, gbuffer,
             state.frame, jax.random.fold_in(key, 7777),
             camera_is_moving, render_scale,
         )

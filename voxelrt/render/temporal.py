@@ -158,7 +158,6 @@ def _history_filter(cfg, history, prev_depth, prev_normals, uv, center_depth,
             wgt = wgt * in_bounds.astype(jnp.float32)
 
             col = _gather2d(history, tx, ty)
-            big = jnp.float32(999999.0)
             col_min = jnp.where(in_bounds[..., None], jnp.minimum(col_min, col),
                                 col_min)
             col_max = jnp.where(in_bounds[..., None], jnp.maximum(col_max, col),

@@ -1,0 +1,762 @@
+"""Physical sky + volumetric clouds (renderer/atmos.py, 529 LoC).
+
+Pipeline (matching the reference's three precompute stages, SURVEY.md §2.7):
+  A. transmittance (atmos.py:462-498) — the reference bakes a 256×128 LUT
+     and reads it with nearest-neighbor gathers. Gathers are the one slow
+     primitive on TPU (PERF_NOTES.md), so the production path evaluates the
+     same integral directly per query with a fixed-step quadrature
+     (`sun_transmittance`) — gather-free, vectorized, and *less* quantized
+     than the LUT. The LUT builder is kept for tests/API parity.
+  B. cloud layer march accumulated over N passes (atmos.py:140-157) into the
+     skybox buffers. Runs even when clouds are visually disabled — the
+     reference multiplies cloud transmittance into the sky transmittance
+     unconditionally (atmos.py:189).
+  C. full skybox scattering with single-bounce multiple-scattering
+     "hackproximation" (ms_energy = 5.3, atmos.py:356-425) + cloud
+     composite (atmos.py:160-189).
+
+The cloud density field is procedural (tileable hash value-noise evaluated
+at the reference's quantized 256² texel coordinates with the same 0.7
+threshold / two height bands / coverage semantics, atmos.py:195-224). The
+reference samples a JPEG texture; shipping that asset is not an option, so
+the statistical structure is reproduced instead. The blue-noise texture the
+reference loads is never sampled upstream (SURVEY.md §2 — dead) and is
+omitted.
+
+Precompute is deterministic (seeded) and disk-cached under .skycache/.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from voxelrt.ops.sampling import (
+    PI,
+    dot,
+    get_unit_vec,
+    mix,
+    normalize,
+    sample_cone_oriented,
+    saturate,
+)
+
+# --- constants (renderer/atmos.py:37-83) -----------------------------------
+
+AIR_NUM_DENSITY = 2.5035422e25
+OZONE_PEAK = 8e-6
+OZONE_NUM_DENSITY = AIR_NUM_DENSITY * 0.012588 * OZONE_PEAK
+OZONE_CROSS_SEC = (
+    np.array([4.51103766177301e-21, 3.2854797958699e-21, 1.96774621921165e-22])
+    * 0.0001
+)
+
+RAYLEIGH_COEFF = np.array([0.00000519673, 0.0000121427, 0.0000296453])
+MIE_COEFF = 8.6e-6
+OZONE_COEFF = OZONE_CROSS_SEC * OZONE_NUM_DENSITY
+
+# (3 species rows) -> transposed to (3 color, 3 species) like the reference.
+EXTINC_MAT = np.stack(
+    [RAYLEIGH_COEFF, np.full(3, MIE_COEFF * 1.11), OZONE_COEFF]
+).T.astype(np.float32)
+SCATTER_MAT = np.stack(
+    [RAYLEIGH_COEFF, np.full(3, MIE_COEFF), np.zeros(3)]
+).T.astype(np.float32)
+
+SCALE_HEIGHT_RAYL = 8500.0
+SCALE_HEIGHT_MIE = 1200.0
+MIE_G = 0.75
+
+PLANET_R = 6371e3
+ATMOS_HEIGHT = 110e3
+
+CLOUD_HEIGHT = 1000.0 + 1e3
+CLOUD_THICKNESS = 170.0 * 2.0
+CLOUD_DENSITY = 0.27
+CLOUD_EXTINC = 0.075
+CLOUD_SCATTER = CLOUD_EXTINC
+
+CAM_POS = np.array([0.0, PLANET_R + 1e3, 0.0], np.float32)
+
+TRANS_QUAD_STEPS = 16  # quadrature steps replacing the 128-step LUT march
+
+
+class SkyData(NamedTuple):
+    skybox_scattering: jax.Array  # (S, S, 3) f32
+    skybox_transmittance: jax.Array  # (S, S, 3) f32
+    cloud_ambient: jax.Array  # (3,)
+    trans_lut: jax.Array  # (256, 128, 3) kept for parity/tests
+
+
+# --- geometry helpers -------------------------------------------------------
+
+
+def rsi(pos, dir, r):
+    """Ray-sphere intersection (renderer/atmos.py:9-15); returns (near, far),
+    (-1, -1) on miss (the reference NaN-poisons misses; every use only tests
+    `> 0`, which behaves identically)."""
+    b = dot(pos, dir)
+    discr = b * b - dot(pos, pos) + r * r
+    miss = discr < 0.0
+    sq = jnp.sqrt(jnp.maximum(discr, 0.0))
+    near = jnp.where(miss, -1.0, -b - sq)
+    far = jnp.where(miss, -1.0, -b + sq)
+    return near, far
+
+
+def rayleigh_phase(cos_theta):
+    return 3.0 / (16.0 * PI) * (1.0 + cos_theta * cos_theta)
+
+
+def mie_phase(cos_theta, g):
+    return (1 - g * g) / (
+        4.0 * PI * jnp.power(jnp.maximum(1.0 + g * g - 2 * g * cos_theta, 1e-8), 1.5)
+    )
+
+
+def get_elevation(pos):
+    return jnp.sqrt(dot(pos, pos)) - PLANET_R
+
+
+def get_ozone_density(h):
+    """renderer/atmos.py:500-518."""
+    h_km = h * 0.001
+    peak_rel_sqr = (h_km - 25.0) ** 2
+    d = (1.0 - 0.375) * jnp.exp(-peak_rel_sqr / 49.0)
+    d = d + 0.375 * jnp.exp(-peak_rel_sqr / 256.0)
+    d = d + jnp.maximum(0.0, -0.000015 * (h_km - 15.0) ** 3)
+    return d * 4.0
+
+
+def get_density(h):
+    """(..., 3) species density at elevation h (renderer/atmos.py:520-523)."""
+    h = jnp.maximum(h, 0.0)
+    return jnp.stack(
+        [
+            jnp.exp(-h / SCALE_HEIGHT_RAYL),
+            jnp.exp(-h / SCALE_HEIGHT_MIE),
+            get_ozone_density(h),
+        ],
+        axis=-1,
+    )
+
+
+def sun_transmittance(pos, dir, steps: int = TRANS_QUAD_STEPS):
+    """Transmittance from ``pos`` along ``dir`` to the top of the atmosphere.
+
+    Gather-free replacement for read_trans_lut (renderer/atmos.py:458-460):
+    midpoint quadrature of the same optical-depth integral the LUT bakes
+    (renderer/atmos.py:475-498), including the below-horizon zeroing.
+    """
+    _, far = rsi(pos, dir, PLANET_R + ATMOS_HEIGHT)
+    step_delta = jnp.maximum(far, 0.0) / steps
+    p0 = pos + dir * (0.5 * step_delta)[..., None]
+    step = dir * step_delta[..., None]
+
+    def body(i, od):
+        p = p0 + step * jnp.float32(i)
+        return od + get_density(get_elevation(p)) * step_delta[..., None]
+
+    od = jax.lax.fori_loop(
+        0, steps, body, jnp.zeros(pos.shape[:-1] + (3,), jnp.float32)
+    )
+    trans = jnp.exp(-jnp.einsum("cs,...s->...c", jnp.asarray(EXTINC_MAT), od))
+    near_p, _ = rsi(pos, dir, PLANET_R)
+    return jnp.where((near_p > 0.0)[..., None], 0.0, trans)
+
+
+# --- parity LUT (renderer/atmos.py:462-498) ---------------------------------
+
+
+def generate_transmittance_lut():
+    """Exact port of the 256×128 LUT bake, 128-step march."""
+    x = jnp.arange(256, dtype=jnp.float32)
+    y = jnp.arange(128, dtype=jnp.float32)
+    cos_theta = (x[:, None] / 256.0) * 2.0 - 1.0
+    h = ATMOS_HEIGHT * y[None, :] / 128.0
+    theta = jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
+    sin_theta = jnp.sin(theta)
+    shape = (256, 128)
+    ray_dir = jnp.stack(
+        [
+            jnp.broadcast_to(sin_theta, shape),
+            jnp.broadcast_to(cos_theta, shape),
+            jnp.zeros(shape),
+        ],
+        axis=-1,
+    )
+    ray_pos = jnp.stack(
+        [
+            jnp.zeros(shape),
+            jnp.broadcast_to(PLANET_R + h, shape),
+            jnp.zeros(shape),
+        ],
+        axis=-1,
+    )
+    return get_ray_transmittance(ray_pos, ray_dir)
+
+
+def get_ray_transmittance(ray_pos, ray_dir):
+    """renderer/atmos.py:475-498 (128 steps, the reference's start offset)."""
+    steps = 128
+    fsteps = 1.0 / steps
+    _, far = rsi(ray_pos, ray_dir, PLANET_R + ATMOS_HEIGHT)
+    step_delta = far * fsteps
+    ray_step = ray_dir * step_delta[..., None]
+    p = ray_pos + ray_step * (0.5 * (jnp.maximum(ray_dir[..., 1], 0.0) * 0.5 + 0.5))[
+        ..., None
+    ]
+    od = jnp.zeros(ray_pos.shape[:-1] + (3,), jnp.float32)
+
+    def body(i, carry):
+        od, p = carry
+        od = od + get_density(get_elevation(p)) * step_delta[..., None]
+        return od, p + ray_step
+
+    od, p = jax.lax.fori_loop(0, steps, body, (od, p))
+    trans = jnp.exp(-jnp.einsum("cs,...s->...c", jnp.asarray(EXTINC_MAT), od))
+    near_p, _ = rsi(p, ray_dir, PLANET_R)
+    return jnp.where((near_p > 0.0)[..., None], 0.0, trans)
+
+
+def read_trans_lut(lut, cos_theta, h):
+    """renderer/atmos.py:458-460 — nearest LUT read (test/parity path only;
+    the render path uses sun_transmittance)."""
+    cu = jnp.clip(((cos_theta * 0.5 + 0.5) * 256).astype(jnp.int32), 0, 255)
+    hv = jnp.clip((h / ATMOS_HEIGHT * 128).astype(jnp.int32), 0, 127)
+    flat = lut.reshape(-1, 3)
+    return jnp.take(flat, cu * 128 + hv, axis=0, mode="clip")
+
+
+# --- procedural cloud density field -----------------------------------------
+
+
+def _hash01(ix, iy, ch):
+    """Integer lattice -> [0, 1) hash, periodic in 256."""
+    x = (ix & 255).astype(jnp.uint32)
+    y = (iy & 255).astype(jnp.uint32)
+    n = x + y * jnp.uint32(57) + jnp.uint32(ch) * jnp.uint32(131)
+    n = (n << 13) ^ n
+    n = n * (n * n * jnp.uint32(15731) + jnp.uint32(789221)) + jnp.uint32(1376312589)
+    return (n & jnp.uint32(0x7FFFFFFF)).astype(jnp.float32) / float(0x7FFFFFFF)
+
+
+def _value_noise(px, py, freq, ch):
+    """Bilinear value noise on a lattice of period 256/freq (freq = 2^k)."""
+    sx = px / (256.0 / freq)
+    sy = py / (256.0 / freq)
+    ix = jnp.floor(sx).astype(jnp.int32)
+    iy = jnp.floor(sy).astype(jnp.int32)
+    fx = sx - ix
+    fy = sy - iy
+    fx = fx * fx * (3.0 - 2.0 * fx)
+    fy = fy * fy * (3.0 - 2.0 * fy)
+    per = int(freq)
+    a = _hash01(ix % per, iy % per, ch)
+    b = _hash01((ix + 1) % per, iy % per, ch)
+    c = _hash01(ix % per, (iy + 1) % per, ch)
+    d = _hash01((ix + 1) % per, (iy + 1) % per, ch)
+    return mix(mix(a, b, fx), mix(c, d, fx), fy)
+
+
+def cloud_texture_channels(cx, cy):
+    """The procedural stand-in for the 256² cloud texture: two density
+    layers (x, y) and a coverage channel (z), all in [0, 1]."""
+    px = cx.astype(jnp.float32)
+    py = cy.astype(jnp.float32)
+
+    def fbm(ch, octaves=4, lac=2.0, gain=0.55):
+        amp, freq, total, norm = 1.0, 4.0, 0.0, 0.0
+        for o in range(octaves):
+            total = total + amp * _value_noise(px, py, freq, ch * 8 + o)
+            norm += amp
+            amp *= gain
+            freq *= lac
+        return total / norm
+
+    low = saturate(fbm(0) * 1.9 - 0.45)
+    high = saturate(fbm(1) * 1.9 - 0.55)
+    coverage = saturate(fbm(2, octaves=3) * 1.6 - 0.15)
+    return low, high, coverage
+
+
+def sample_cloud_density(ray_pos):
+    """renderer/atmos.py:195-224 with the procedural field; same tiling,
+    texel quantization, 0.7 thresholds, height bands and layer gate."""
+    tile_size = 29000.0
+    px = ray_pos[..., 0] + tile_size * 0.65
+    pz = ray_pos[..., 2] + tile_size * 0.65
+    u = jnp.mod(px, tile_size) / tile_size
+    v = jnp.mod(pz, tile_size) / tile_size
+    cx = (u * 256).astype(jnp.int32)
+    cy = (v * 256).astype(jnp.int32)
+
+    relative_height = jnp.sqrt(dot(ray_pos, ray_pos)) - PLANET_R
+
+    tx, ty, tz = cloud_texture_channels(cx, cy)
+    tx = jnp.where(tx < 0.7, 0.0, tx)
+    ty = jnp.where(ty < 0.7, 0.0, ty)
+    tz = jnp.where(tz < 0.7, 0.0, tz)
+
+    cloud = jnp.where(
+        relative_height < CLOUD_HEIGHT + CLOUD_THICKNESS * 0.65, tx, ty
+    )
+    in_layer = (relative_height > CLOUD_HEIGHT) & (
+        relative_height < CLOUD_HEIGHT + CLOUD_THICKNESS
+    )
+    return jnp.where(in_layer, CLOUD_DENSITY * tz * cloud, 0.0)
+
+
+# --- cloud scattering (renderer/atmos.py:226-349) ---------------------------
+
+
+def cloud_phase(cos_theta, an):
+    """renderer/atmos.py:262-267 — 3-lobe HG mix."""
+    peak = mie_phase(cos_theta, 0.92 * an)
+    front = mie_phase(cos_theta, 0.4 * an)
+    back = mie_phase(cos_theta, -0.55 * an)
+    return mix(mix(front, back, 0.5), peak, 0.15)
+
+
+def clouds_shadow_od(ray_origin, ray_dir, dither, steps=8):
+    """renderer/atmos.py:231-260 — exponential-stride shadow march."""
+    exponent = 1.6
+    step_delta = 24.0 / steps
+    od = jnp.zeros(ray_origin.shape[:-1], jnp.float32)
+    ray_pos = ray_origin
+    ray_step = ray_dir * step_delta
+    for _ in range(steps):
+        ray_step = ray_step * exponent
+        step_delta = step_delta * exponent
+        dithered = ray_pos + ray_step * dither[..., None]
+        rel_h = jnp.sqrt(dot(dithered, dithered)) - PLANET_R
+        in_layer = (rel_h >= CLOUD_HEIGHT) & (
+            rel_h <= CLOUD_HEIGHT + CLOUD_THICKNESS
+        )
+        od = od + jnp.where(
+            in_layer, sample_cloud_density(dithered) * step_delta, 0.0
+        )
+        ray_pos = ray_pos + ray_step
+    return od
+
+
+def clouds_scattering(cfg, ray_origin, ray_dir, sun_dir, sun_col,
+                      sun_cone_cos_theta_max, dither, key, cloud_ambient):
+    """renderer/atmos.py:269-349 — one 32-step cloud march pass.
+
+    Returns (in_scatter (N,3), transmittance (N,), weighted_dist (N,)).
+    The sun-sample loop is batched into an extra leading axis; the step loop
+    is a fori_loop to keep trace size small.
+    """
+    steps = cfg.cloud_steps
+    n_sun = cfg.cloud_sun_samples
+    fsteps = 1.0 / steps
+    n = ray_origin.shape[0]
+
+    _, bottom_far = rsi(ray_origin, ray_dir, PLANET_R + CLOUD_HEIGHT)
+    _, top_far = rsi(ray_origin, ray_dir, PLANET_R + CLOUD_HEIGHT + CLOUD_THICKNESS)
+
+    step_delta = (top_far - bottom_far) * fsteps
+    ray_step = ray_dir * step_delta[..., None]
+    start = ray_origin + ray_dir * bottom_far[..., None]
+    pos0 = start + ray_step * dither[..., None]
+    dist0 = jnp.sqrt(dot(start - ray_origin, start - ray_origin))
+    up = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    octaves = jnp.asarray([1.0, 0.5, 0.25, 0.125], jnp.float32)
+
+    def body(i, carry):
+        in_scatter, transmittance, weighted_dist, weight_sum = carry
+        ray_pos = pos0 + ray_step * jnp.float32(i)
+        distance_traveled = dist0 + step_delta * jnp.float32(i + 1)
+
+        density = sample_cloud_density(ray_pos)
+        live = (density > 0.0) & (transmittance > 1e-4)
+
+        step_od = CLOUD_EXTINC * density * step_delta
+        step_trans = saturate(jnp.exp(-step_od))
+        step_weight = (1.0 - step_trans) / CLOUD_EXTINC
+        visible = transmittance * step_weight
+
+        ki = jax.random.fold_in(key, i)
+        u_sun = jax.random.uniform(ki, (n_sun, n, 2))
+        # Batched sun samples: (n_sun, n, 3).
+        sdirs = sample_cone_oriented(
+            sun_cone_cos_theta_max,
+            jnp.broadcast_to(sun_dir, (n_sun, n, 3)),
+            u_sun,
+        )
+        posb = jnp.broadcast_to(ray_pos, (n_sun, n, 3))
+        cos_theta = dot(jnp.broadcast_to(ray_dir, (n_sun, n, 3)), sdirs)
+        sun_od = clouds_shadow_od(posb, sdirs, jnp.broadcast_to(dither, (n_sun, n)),
+                                  steps=cfg.cloud_shadow_steps)
+        sun_atmos_trans = sun_transmittance(posb, sdirs)
+        # 4 multiple-scattering octaves (Wrenninge), vectorized: (4, n_sun, n)
+        an = octaves[:, None, None]
+        phase = cloud_phase(cos_theta[None], an)
+        amount = an * CLOUD_SCATTER * phase * jnp.exp(
+            -sun_od[None] * CLOUD_EXTINC * an
+        )
+        scatter_add = jnp.sum(
+            amount[..., None] * sun_atmos_trans[None], axis=(0, 1)
+        ) * (sun_col / n_sun) * visible[..., None]
+
+        ambient_od = clouds_shadow_od(ray_pos, up, dither,
+                                      steps=cfg.cloud_shadow_steps)
+        an1 = octaves[:, None]
+        amb_amount = jnp.sum(
+            an1 * (CLOUD_SCATTER / (4.0 * PI))
+            * jnp.exp(-ambient_od[None] * CLOUD_EXTINC * an1),
+            axis=0,
+        )
+        scatter_add = scatter_add + (visible * amb_amount)[..., None] * cloud_ambient
+
+        in_scatter = in_scatter + jnp.where(live[..., None], scatter_add, 0.0)
+        transmittance = jnp.where(live, transmittance * step_trans, transmittance)
+        weighted_dist = weighted_dist + distance_traveled * transmittance
+        weight_sum = weight_sum + transmittance
+        return in_scatter, transmittance, weighted_dist, weight_sum
+
+    init = (
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.ones((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    )
+    in_scatter, transmittance, weighted_dist, weight_sum = jax.lax.fori_loop(
+        0, steps, body, init
+    )
+    weighted_dist = weighted_dist / jnp.maximum(weight_sum, 1e-20)
+    return in_scatter, transmittance, weighted_dist
+
+
+# --- atmospheric scattering (renderer/atmos.py:355-425) ---------------------
+
+
+def _ms_dirs(n_ms):
+    """The fixed multiple-scattering directions (renderer/atmos.py:404-405)."""
+    out = []
+    for j in range(n_ms):
+        u0 = (j + 0.5) / n_ms
+        u1 = (j * 1.618033988749) % 1.0
+        ax = u0 * 2.0 * np.pi
+        ay = u1 * 2.0 - 1.0
+        g = np.array([np.sin(ax), np.cos(ax)]) * np.sqrt(max(1.0 - ay * ay, 0.0))
+        v = np.array([g[0], g[1], ay])
+        out.append(v / np.linalg.norm(v))
+    return np.asarray(out, np.float32)
+
+
+def atmospheric_scattering(cfg, ray_origin, ray_dir, sun_dir, sun_col,
+                           sun_cone_cos_theta_max, key, depth=0, steps=None):
+    """Single+hack-multiple scattering march (renderer/atmos.py:356-425).
+
+    ``depth`` is python-static like the reference's ti.template; depth 2
+    contributes nothing. Sun cone samples are batched into a leading axis;
+    the step loop is a fori_loop; the multiple-scattering recursion flattens
+    its 8 fixed directions into the batch of the depth-1 call.
+    """
+    n = ray_origin.shape[0]
+    if steps is None:
+        steps = cfg.sky_steps
+    if depth > 1:
+        return (jnp.zeros((n, 3), jnp.float32), jnp.ones((n, 3), jnp.float32))
+
+    air_near, air_far = rsi(ray_origin, ray_dir, PLANET_R + ATMOS_HEIGHT)
+    planet_near, _ = rsi(ray_origin, ray_dir, PLANET_R)
+    air_far = jnp.where(planet_near > 0.0, jnp.minimum(air_far, planet_near),
+                        air_far)
+
+    fsteps = 1.0 / steps
+    step_delta = (air_far - jnp.maximum(air_near, 0.0)) * fsteps
+    ray_step = ray_dir * step_delta[..., None]
+    pos0 = ray_origin + ray_step * 0.5
+
+    n_sun = cfg.sky_sun_samples
+    n_ms = cfg.sky_ms_samples
+    ms_energy = 5.3  # renderer/atmos.py:400
+    rc = jnp.asarray(RAYLEIGH_COEFF, jnp.float32)
+    extinc = jnp.asarray(EXTINC_MAT)
+    ms_dirs = jnp.asarray(_ms_dirs(n_ms)) if depth == 0 else None
+
+    def body(i, carry):
+        in_scatter, transmittance = carry
+        ray_pos = pos0 + ray_step * jnp.float32(i)
+        h = get_elevation(ray_pos)
+        density = get_density(h)
+        step_od = jnp.einsum(
+            "cs,...s->...c", extinc, density * step_delta[..., None]
+        )
+        step_trans = saturate(jnp.exp(-step_od))
+        visible = transmittance * saturate(
+            (1.0 - step_trans) / jnp.maximum(step_od, 1e-20)
+        )
+
+        ki = jax.random.fold_in(jax.random.fold_in(key, depth), i)
+        u_sun = jax.random.uniform(ki, (n_sun, n, 2))
+        sdirs = sample_cone_oriented(
+            sun_cone_cos_theta_max, jnp.broadcast_to(sun_dir, (n_sun, n, 3)), u_sun
+        )
+        cos_theta = dot(jnp.broadcast_to(ray_dir, (n_sun, n, 3)), sdirs)
+        ph_r = rayleigh_phase(cos_theta)
+        ph_m = mie_phase(cos_theta, MIE_G)
+        posb = jnp.broadcast_to(ray_pos, (n_sun, n, 3))
+        sun_trans = sun_transmittance(posb, sdirs)  # (n_sun, n, 3)
+        # Σ_j sun_trans_j * phase_j, per species.
+        sum_r = jnp.sum(sun_trans * ph_r[..., None], axis=0)
+        sum_m = jnp.sum(sun_trans * ph_m[..., None], axis=0)
+        common = sun_col * visible / n_sun
+        in_scatter = in_scatter + rc * common * sum_r * (
+            density[..., 0] * step_delta
+        )[..., None]
+        in_scatter = in_scatter + MIE_COEFF * common * sum_m * (
+            density[..., 1] * step_delta
+        )[..., None]
+
+        if depth == 0:
+            # Flatten (n_ms, n) into one depth-1 batch.
+            posf = jnp.broadcast_to(ray_pos, (n_ms, n, 3)).reshape(-1, 3)
+            dirf = jnp.broadcast_to(ms_dirs[:, None, :], (n_ms, n, 3)).reshape(-1, 3)
+            amb_scatter, _ = atmospheric_scattering(
+                cfg, posf, dirf, sun_dir, sun_col, sun_cone_cos_theta_max,
+                jax.random.fold_in(ki, 100), depth + 1, cfg.sky_ms_steps,
+            )
+            amb = amb_scatter.reshape(n_ms, n, 3)
+            cos_ms = dot(
+                jnp.broadcast_to(ray_dir, (n_ms, n, 3)),
+                jnp.broadcast_to(ms_dirs[:, None, :], (n_ms, n, 3)),
+            )
+            ph_ms = mie_phase(cos_ms, MIE_G)
+            amb_sum = jnp.sum(amb, axis=0)
+            amb_sum_m = jnp.sum(amb * ph_ms[..., None], axis=0)
+            in_scatter = in_scatter + ms_energy * rc * amb_sum * visible * (
+                density[..., 0] * step_delta
+            )[..., None] / n_ms
+            in_scatter = in_scatter + ms_energy * MIE_COEFF * amb_sum_m * visible * (
+                density[..., 1] * step_delta
+            )[..., None] / n_ms
+
+        transmittance = transmittance * step_trans
+        return in_scatter, transmittance
+
+    init = (jnp.zeros((n, 3), jnp.float32), jnp.ones((n, 3), jnp.float32))
+    in_scatter, transmittance = jax.lax.fori_loop(0, steps, body, init)
+    transmittance = jnp.where((planet_near > 0.0)[..., None], 0.0, transmittance)
+    return in_scatter, transmittance
+
+
+# --- skybox parameterization (renderer/atmos.py:427-455) --------------------
+
+
+def project_sky(d, skybox_res):
+    """Hillaire EGSR 2020 equal-area-ish mapping -> uv in [0,1]²."""
+    fres = 1.0 / skybox_res
+    proj = normalize(jnp.stack([d[..., 0], d[..., 2]], axis=-1), eps=1e-20)
+    azimuth = PI + jnp.arctan2(proj[..., 0], -proj[..., 1])
+    elevation = PI * 0.5 - jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    cx = azimuth / (2.0 * PI)
+    cy = 0.5 + 0.5 * jnp.sign(elevation) * jnp.sqrt(2.0 / PI * jnp.abs(elevation))
+    uv = jnp.stack([cx, cy], axis=-1)
+    return uv * (1.0 - fres) + 0.5 * fres
+
+
+def unproject_sky(uv, skybox_res):
+    fres = 1.0 / skybox_res
+    coord = (uv - 0.5 * fres) / (1.0 - fres)
+    cy = coord[..., 1]
+    cy = jnp.where(cy < 0.5, -((1.0 - 2.0 * cy) ** 2), (2.0 * cy - 1.0) ** 2)
+    azimuth = coord[..., 0] * 2.0 * PI - PI
+    elevation = cy * 0.5 * PI
+    ce = jnp.cos(elevation)
+    se = jnp.sin(elevation)
+    ca = jnp.cos(azimuth)
+    sa = jnp.sin(azimuth)
+    return normalize(jnp.stack([ce * sa, se, -ce * ca], axis=-1))
+
+
+def _bilinear_wrap(img, fx, fy, res):
+    """Bilinear fetch with % wraparound on both axes (atmos.py:97-113)."""
+    ix = jnp.floor(fx).astype(jnp.int32)
+    iy = jnp.floor(fy).astype(jnp.int32)
+    gx = fx - ix
+    gy = fy - iy
+    flat = img.reshape(-1, img.shape[-1])
+
+    def fetch(ax, ay):
+        ax = jnp.mod(ax, res)
+        ay = jnp.mod(ay, res)
+        return jnp.take(flat, ax * res + ay, axis=0, mode="clip")
+
+    bl = fetch(ix, iy)
+    br = fetch(ix + 1, iy)
+    tl = fetch(ix, iy + 1)
+    tr = fetch(ix + 1, iy + 1)
+    return mix(mix(bl, br, gx[..., None]), mix(tl, tr, gx[..., None]), gy[..., None])
+
+
+def sample_skybox(cfg, sky: SkyData, d, u3):
+    """renderer/atmos.py:94-115 — jittered bilinear skybox fetch."""
+    res = cfg.skybox_res
+    jittered = normalize(d + (u3 - 0.0) * 0.0015)
+    uv = project_sky(jittered, res)
+    fx = uv[..., 0] * res - 0.5
+    fy = uv[..., 1] * res - 0.5
+    scatt = _bilinear_wrap(sky.skybox_scattering, fx, fy, res)
+    trans = _bilinear_wrap(sky.skybox_transmittance, fx, fy, res)
+    return scatt, trans
+
+
+def sample_skybox_transmittance(cfg, sky: SkyData, d):
+    """renderer/atmos.py:117-131."""
+    res = cfg.skybox_res
+    uv = project_sky(d, res)
+    fx = uv[..., 0] * res - 0.5
+    fy = uv[..., 1] * res - 0.5
+    return _bilinear_wrap(sky.skybox_transmittance, fx, fy, res)
+
+
+# --- precompute driver -------------------------------------------------------
+
+
+def _texel_dirs(cfg, chunk_idx, chunk):
+    res = cfg.skybox_res
+    start = chunk_idx * chunk
+    lin = start + jnp.arange(chunk)
+    u = (lin // res).astype(jnp.float32)
+    v = (lin % res).astype(jnp.float32)
+    uv = jnp.stack([(u + 0.5) / res, (v + 0.5) / res], axis=-1)
+    return unproject_sky(uv, res)
+
+
+def _cache_key(cfg, sun_dir, sun_col, cos_max):
+    h = hashlib.sha1()
+    fields = (
+        cfg.skybox_res, cfg.sky_steps, cfg.sky_sun_samples, cfg.sky_ms_samples,
+        cfg.sky_ms_steps, cfg.cloud_steps, cfg.cloud_sun_samples,
+        cfg.cloud_shadow_steps, cfg.cloud_accum_passes, cfg.use_clouds,
+        TRANS_QUAD_STEPS, 3,  # version
+    )
+    h.update(repr(fields).encode())
+    h.update(np.asarray(sun_dir, np.float32).tobytes())
+    h.update(np.asarray(sun_col, np.float32).tobytes())
+    h.update(np.float32(cos_max).tobytes())
+    return h.hexdigest()[:16]
+
+
+def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
+                cache_dir=".skycache", seed=1234) -> SkyData:
+    """Stages A+B+C (renderer/pathtracer.py:314-323, scene.py:199-253) in one
+    deterministic, disk-cached precompute."""
+    key_str = _cache_key(cfg, sun_dir, sun_col, cos_max)
+    cache_path = os.path.join(cache_dir, f"sky_{key_str}.npz")
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return SkyData(
+            jnp.asarray(z["scatt"]), jnp.asarray(z["trans"]),
+            jnp.asarray(z["ambient"]), jnp.asarray(z["lut"]),
+        )
+
+    res = cfg.skybox_res
+    key = jax.random.PRNGKey(seed)
+    sun_dir = jnp.asarray(sun_dir, jnp.float32)
+    sun_col = jnp.asarray(sun_col, jnp.float32)
+
+    if not quiet:
+        print("Generating atmosphere LUT")
+    lut = jax.jit(generate_transmittance_lut)()
+
+    # Cloud ambient (renderer/atmos.py:134-138).
+    amb_origin = (CAM_POS + np.array([0.0, CLOUD_HEIGHT, 0.0], np.float32))[None]
+    up = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
+    amb_scatter, _ = jax.jit(
+        lambda k: atmospheric_scattering(
+            cfg, jnp.asarray(amb_origin), up, sun_dir, sun_col, cos_max, k
+        )
+    )(jax.random.fold_in(key, 0))
+    cloud_ambient = amb_scatter[0]
+
+    n_texels = res * res
+    chunk = min(n_texels, 16384)
+    n_chunks = (n_texels + chunk - 1) // chunk
+
+    cam = jnp.broadcast_to(jnp.asarray(CAM_POS), (chunk, 3))
+
+    # Stage B: cloud accumulation (always runs; see module docstring).
+    @jax.jit
+    def cloud_chunk(ci, k):
+        dirs = _texel_dirs(cfg, ci, chunk)
+        acc_s = jnp.zeros((chunk, 3), jnp.float32)
+        acc_t = jnp.zeros((chunk,), jnp.float32)
+        acc_d = jnp.zeros((chunk,), jnp.float32)
+        passes = cfg.cloud_accum_passes
+        for p in range(passes):
+            kp = jax.random.fold_in(k, p)
+            dither = jax.random.uniform(jax.random.fold_in(kp, 1), (chunk,))
+            s, t, dist = clouds_scattering(
+                cfg, cam, dirs, sun_dir, sun_col, cos_max, dither,
+                jax.random.fold_in(kp, 2), cloud_ambient,
+            )
+            acc_s = acc_s + s * 1.2 / passes
+            acc_t = acc_t + saturate(t) / passes
+            acc_d = acc_d + dist / passes
+        return acc_s, acc_t, acc_d
+
+    # Stage C: skybox scattering + composite (renderer/atmos.py:160-189).
+    @jax.jit
+    def sky_chunk(ci, k, cloud_s, cloud_t, cloud_d):
+        dirs = _texel_dirs(cfg, ci, chunk)
+        sky_total_s, sky_total_t = atmospheric_scattering(
+            cfg, cam, dirs, sun_dir, sun_col, cos_max, jax.random.fold_in(k, 1)
+        )
+        cloud_pos = cam + dirs * jnp.maximum(cloud_d, 0.0)[..., None]
+        sky_fc_s, sky_fc_t = atmospheric_scattering(
+            cfg, cloud_pos, dirs, sun_dir, sun_col, cos_max,
+            jax.random.fold_in(k, 2),
+        )
+        to_cloud_s = jnp.maximum(sky_total_s - sky_fc_s, 0.0)
+        trans_to_cloud = sky_total_t / jnp.maximum(sky_fc_t, 1e-20)
+
+        in_scattering = sky_total_s
+        if cfg.use_clouds:
+            in_scattering = in_scattering - sky_fc_s * saturate(
+                trans_to_cloud * jnp.maximum(1.0 - cloud_t, 0.0)[..., None]
+            )
+            in_scattering = in_scattering + cloud_s * saturate(trans_to_cloud)
+        out_trans = sky_total_t * cloud_t[..., None]
+        return in_scattering, out_trans
+
+    scatt = np.zeros((n_texels, 3), np.float32)
+    trans = np.zeros((n_texels, 3), np.float32)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    for ci in range(n_chunks):
+        kc = jax.random.fold_in(key, 1000 + ci)
+        cs, ct, cd = cloud_chunk(jnp.int32(ci), jax.random.fold_in(kc, 1))
+        s, t = sky_chunk(jnp.int32(ci), jax.random.fold_in(kc, 2), cs, ct, cd)
+        lo = ci * chunk
+        hi = min(lo + chunk, n_texels)
+        scatt[lo:hi] = np.asarray(jax.device_get(s))[: hi - lo]
+        trans[lo:hi] = np.asarray(jax.device_get(t))[: hi - lo]
+        if not quiet:
+            print(f"  skybox {ci + 1}/{n_chunks} ({_time.perf_counter() - t0:.1f}s)")
+
+    sky = SkyData(
+        jnp.asarray(scatt.reshape(res, res, 3)),
+        jnp.asarray(trans.reshape(res, res, 3)),
+        cloud_ambient,
+        lut,
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez_compressed(
+        cache_path,
+        scatt=scatt.reshape(res, res, 3),
+        trans=trans.reshape(res, res, 3),
+        ambient=np.asarray(jax.device_get(cloud_ambient)),
+        lut=np.asarray(jax.device_get(lut)),
+    )
+    return sky

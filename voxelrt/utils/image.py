@@ -22,26 +22,12 @@ def to_uint8_rows(img_wh3: np.ndarray) -> np.ndarray:
 
 
 def write_png(path: str, img_wh3: np.ndarray) -> str:
-    """Minimal dependency-free PNG writer (8-bit RGB)."""
+    """PNG writer — native C++ encoder when built, pure zlib fallback."""
+    from voxelrt.utils.native import encode_png
+
     rows = to_uint8_rows(img_wh3)
     h, w, _ = rows.shape
-    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
-    )
+    png = encode_png(np.ascontiguousarray(rows), w, h)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as fh:
         fh.write(png)

@@ -1,0 +1,66 @@
+"""Observability: structured per-frame stats + profiling hooks (SURVEY.md §5).
+
+The reference's telemetry is print-based (wall-clock per 1024 samples,
+scene.py:274-278; camera pose prints). Here:
+
+  * :class:`FrameStats` — per-frame structured records (spp, wall ms,
+    rays/s estimate) emitted to stdout or CSV.
+  * :func:`trace` — context manager wrapping ``jax.profiler`` traces for
+    xprof, plus wall-clock timing that works on the tunneled TPU platform
+    (where block_until_ready does not synchronize — PERF_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import csv
+import sys
+import time
+
+
+class FrameStats:
+    def __init__(self, out=None, csv_path=None):
+        self.out = out if out is not None else sys.stdout
+        self.rows = []
+        self.csv_path = csv_path
+        self._csv = None
+        if csv_path:
+            self._csv = csv.writer(open(csv_path, "w", newline=""))
+            self._csv.writerow(["frame", "spp", "wall_ms", "mrays_per_s"])
+
+    def record(self, frame, spp, wall_ms, n_rays=None, quiet=False):
+        mrays = (n_rays / wall_ms / 1e3) if (n_rays and wall_ms) else 0.0
+        row = dict(frame=frame, spp=spp, wall_ms=round(wall_ms, 3),
+                   mrays_per_s=round(mrays, 2))
+        self.rows.append(row)
+        if self._csv:
+            self._csv.writerow([frame, spp, row["wall_ms"], row["mrays_per_s"]])
+        if not quiet:
+            print(f"[frame {frame}] spp={spp} {wall_ms:.1f} ms "
+                  f"({mrays:.1f} Mrays/s)", file=self.out)
+        return row
+
+
+def sync(x):
+    """Force completion (device_get of a tiny slice) — block_until_ready is
+    a no-op on the tunneled axon platform."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree.leaves(x)[0]
+    return np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+@contextlib.contextmanager
+def trace(label="voxelrt", log_dir=None):
+    """jax.profiler trace (when log_dir given) + wall clock."""
+    import jax
+
+    t0 = time.perf_counter()
+    if log_dir:
+        with jax.profiler.trace(log_dir):
+            yield
+    else:
+        yield
+    dt = time.perf_counter() - t0
+    print(f"[trace] {label}: {dt * 1e3:.1f} ms", file=sys.stderr)

@@ -149,7 +149,9 @@ class VoxelWorld:
         each frame (renderer/voxel_world.py:69-87) — one gather fetches both
         albedo and material id.
         """
-        occ = build_occupancy_pyramid(self.material != 0, self.n_lods)
+        from voxelrt.utils.native import build_occupancy as _native_build
+
+        occ = _native_build(self.material, self.grid_res, self.n_lods)
         c = self.color.astype(np.uint32)
         m = self.material.astype(np.uint8).astype(np.uint32)
         packed = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16) | (m << 24)
