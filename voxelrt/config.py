@@ -73,7 +73,7 @@ class RenderConfig:
     # build can trade precompute time/memory for fidelity.
     use_physical_sky: bool = False
     use_clouds: bool = False
-    skybox_res: int = 2048
+    skybox_res: int = 1024
     trans_lut_res: tuple[int, int] = (256, 128)
     sky_steps: int = 64
     sky_sun_samples: int = 8

@@ -52,22 +52,46 @@ def _pad_to(arr: np.ndarray, multiple: int) -> np.ndarray:
     return arr
 
 
+def _part1by2(v: np.ndarray) -> np.ndarray:
+    """Spread the low 10 bits of v 3 apart (Morton interleave helper)."""
+    v = v.astype(np.uint32) & 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton3_np(x, y, z):
+    return _part1by2(x) | (_part1by2(y) << 1) | (_part1by2(z) << 2)
+
+
 def build_pallas_tables(material_xyz: np.ndarray, color_words_zyx: np.ndarray,
                         grid_res: int) -> PallasTables:
     """material_xyz: int8 [x][y][z]; color_words_zyx: u32 flat z-major
-    ((z*res + y)*res + x) packed voxel words (world.device_arrays)."""
+    ((z*res + y)*res + x) packed voxel words (world.device_arrays).
+
+    Cell ids are z-major ((cz*r2 + cy)*r2 + cx); a Morton ordering was
+    measured slower overall (the id computation outweighs the tighter scan
+    ranges — see PERF_NOTES.md)."""
     res = grid_res
     r2 = res // 4
     occ = (material_xyz != 0).transpose(2, 1, 0)  # [z][y][x]
 
-    # cells: [cz, vz, cy, vy, cx, vx] -> [cz, cy, cx, vz, vy, vx]
+    # cells z-major first: [cz, cy, cx, 64 local bits]
     cells = (
         occ.reshape(r2, 4, r2, 4, r2, 4)
         .transpose(0, 2, 4, 1, 3, 5)
         .reshape(r2 * r2 * r2, 64)
     )
-    cell_masks = _pack_bits(cells)  # 2 words per cell, interleaved
+    colors = (
+        color_words_zyx.reshape(r2, 4, r2, 4, r2, 4)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(r2 * r2 * r2, 64)
+    )
+    cell_masks = _pack_bits(cells)  # 2 words per cell
     lod2 = _pack_bits(cells.any(axis=1))
+
     r3 = res // 8
     occ3 = (
         occ.reshape(r3, 8, r3, 8, r3, 8)
@@ -77,13 +101,10 @@ def build_pallas_tables(material_xyz: np.ndarray, color_words_zyx: np.ndarray,
     )
     lod3 = _pack_bits(occ3)
 
-    colors = color_words_zyx.reshape(r2, 4, r2, 4, r2, 4)
-    colors = colors.transpose(0, 2, 4, 1, 3, 5).reshape(-1)  # cell-major
-
     return PallasTables(
         lod2_words=jnp.asarray(_pad_to(lod2, 1024)),
         lod3_words=jnp.asarray(_pad_to(lod3, 128)),
         cell_masks=jnp.asarray(_pad_to(cell_masks, 1024)),
-        cell_colors=jnp.asarray(_pad_to(colors, 1024)),
+        cell_colors=jnp.asarray(_pad_to(colors.reshape(-1), 1024)),
         grid_res=res,
     )

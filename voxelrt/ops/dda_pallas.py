@@ -53,6 +53,18 @@ def _gather_1024(table_slab, word_idx):
     return out
 
 
+def _part1by2(v):
+    """Spread low bits 3 apart (valid for v < 256)."""
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _morton3(x, y, z):
+    return _part1by2(x) | (_part1by2(y) << 1) | (_part1by2(z) << 2)
+
+
 def _gather_row(row128, word_idx):
     """Gather from a (1, 128) row broadcast across sublanes; idx in [0, 128)."""
     row = jnp.broadcast_to(row128, (8, 128))
@@ -175,11 +187,21 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         advance = live & ~occ
 
         # --- fetch cell masks for rays entering a new occupied cell -------
+        # Deferred batching: fetch rounds run every other iteration so rays
+        # arriving at occupied cells on adjacent iterations share one scan;
+        # waiting rays simply stall (they are on an occupied cell, so they
+        # cannot advance).
         grp = cell >> 9  # 512 cells per (8,128) slab of mask words
         n_grps = masks_ref.shape[0] // 8
         gmin = jnp.min(jnp.where(need_fetch, grp, n_grps - 1))
         gmax = jnp.max(jnp.where(need_fetch, grp, 0))
-        any_fetch = jnp.any(need_fetch)
+        # Adaptive deferral: fetch immediately when a sizable share of live
+        # lanes is waiting (coherent wavefronts), else batch every 2nd iter.
+        cnt_f = jnp.sum(need_fetch.astype(jnp.int32))
+        cnt_a = jnp.sum(live.astype(jnp.int32))
+        do_fetch = (cnt_f > 0) & (
+            (4 * cnt_f >= cnt_a) | ((s["total"] & 1) == 0)
+        )
 
         mask_lo, mask_hi = s["mask_lo"], s["mask_hi"]
         widx = (2 * cell) & 1023  # lo word index within the group slab
@@ -187,22 +209,19 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         def fetch_group(g, carry):
             lo, hi = carry
             wanted = need_fetch & (grp == g)
-
-            def do():
-                slab_ = masks_ref[pl.ds(g * 8, 8), :]
-                glo = _gather_1024(slab_, widx)
-                ghi = _gather_1024(slab_, widx + 1)
-                return (jnp.where(wanted, glo, lo), jnp.where(wanted, ghi, hi))
-
-            return jax.lax.cond(jnp.any(wanted), do, lambda: (lo, hi))
+            slab_ = masks_ref[pl.ds(g * 8, 8), :]
+            glo = _gather_1024(slab_, widx)
+            ghi = _gather_1024(slab_, widx + 1)
+            return (jnp.where(wanted, glo, lo), jnp.where(wanted, ghi, hi))
 
         mask_lo, mask_hi = jax.lax.cond(
-            any_fetch,
+            do_fetch,
             lambda: jax.lax.fori_loop(gmin, gmax + 1, fetch_group,
                                       (mask_lo, mask_hi)),
             lambda: (mask_lo, mask_hi),
         )
-        mask_cell = jnp.where(need_fetch, cell, s["mask_cell"])
+        fetched = need_fetch & do_fetch
+        mask_cell = jnp.where(fetched, cell, s["mask_cell"])
 
         # --- watertight advance (raytracer.py:124-147) ---------------------
         cs_i = jnp.int32(1) << jnp.where(at0, 0, jnp.where(at2, 2, 3))
@@ -247,7 +266,7 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         out["pz"] = jnp.where(advance, napz, pz)
         out["lod"] = jnp.where(
             advance, adv_lod,
-            jnp.where(descend3, 2, jnp.where(need_fetch | descend2, 0, lod)),
+            jnp.where(descend3, 2, jnp.where(fetched | descend2, 0, lod)),
         )
         out["nx"] = jnp.where(advance, anx, s["nx"])
         out["ny"] = jnp.where(advance, any_, s["ny"])
@@ -295,17 +314,12 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
         def cgroup(g, col):
             wanted = hit & (grp == g)
-
-            def do():
-                out = col
-                for k in range(8):  # 8 slabs of 1024 words per group
-                    slab_ = colors_ref[pl.ds(g * 64 + k * 8, 8), :]
-                    sub_wanted = wanted & (((word_idx >> 10) & 7) == k)
-                    gv = _gather_1024(slab_, word_idx & 1023)
-                    out = jnp.where(sub_wanted, gv, out)
-                return out
-
-            return jax.lax.cond(jnp.any(wanted), do, lambda: col)
+            for k in range(8):  # 8 slabs of 1024 words per group
+                slab_ = colors_ref[pl.ds(g * 64 + k * 8, 8), :]
+                sub_wanted = wanted & (((word_idx >> 10) & 7) == k)
+                gv = _gather_1024(slab_, word_idx & 1023)
+                col = jnp.where(sub_wanted, gv, col)
+            return col
 
         col = jax.lax.cond(
             jnp.any(hit),
