@@ -49,11 +49,11 @@ def build_scene(name, res):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="example1",
-                    help="example scene module (example1, example6, ...)")
+    ap.add_argument("--scene", default="example6",
+                    help="example scene module (the BASELINE north star is example6)")
     ap.add_argument("--res", default="1280x720")
     ap.add_argument("--spp", type=int, default=512, help="target spp")
-    ap.add_argument("--measure-spp", type=int, default=32)
+    ap.add_argument("--measure-spp", type=int, default=16)
     ap.add_argument("--full", action="store_true",
                     help="actually run all --spp samples")
     ap.add_argument("--out", default=None, help="optionally write the PNG")

@@ -124,7 +124,10 @@ def test_fetch_image_ldr(setup):
 def test_multichip_dryrun():
     import __graft_entry__
 
-    n = len(jax.devices())
+    try:
+        n = len(jax.devices("cpu"))
+    except Exception:
+        n = len(jax.devices())
     __graft_entry__.dryrun_multichip(min(n, 8))
 
 
@@ -137,7 +140,10 @@ def test_multichip_matches_single_device():
     params = make_params(cfg)
     key = jax.random.PRNGKey(7)
 
-    devs = jax.devices()
+    try:
+        devs = jax.devices("cpu")
+    except Exception:
+        devs = jax.devices()
     mesh1 = sharding.make_mesh(devs[:1], dp=1, sp=1)
     img1 = np.asarray(jax.device_get(
         sharding.parallel_render(cfg, scene, params, key, 4, mesh1)

@@ -82,7 +82,11 @@ def test_cloud_density_field():
     assert 0.005 < frac < 0.6, frac  # broken cloud cover, not solid/empty
     assert din.max() <= atmos.CLOUD_DENSITY + 1e-6
 
-    # tiling: density is periodic with the 29 km tile
-    p2 = pin.at[:, 0].add(29000.0)
-    din2 = np.asarray(atmos.sample_cloud_density(p2))
-    assert np.allclose(din, din2)
+    # tiling: the texture field is periodic in texel space (the world-space
+    # density additionally depends on spherical elevation, so a plain x
+    # shift changes |pos| and legitimately moves height bands)
+    cx = jnp.asarray(rng.integers(0, 256, 4096), jnp.int32)
+    cy = jnp.asarray(rng.integers(0, 256, 4096), jnp.int32)
+    a = np.asarray(jnp.stack(atmos.cloud_texture_channels(cx, cy)))
+    b = np.asarray(jnp.stack(atmos.cloud_texture_channels(cx + 256, cy + 512)))
+    assert np.allclose(a, b)

@@ -99,14 +99,17 @@ def _raytrace_impl(words, origin, direction, ray_min_t, ray_max_t,
     n = origin.shape[0]
     sign_d = jnp.sign(direction)
 
+    # Initial carries derive from varying inputs so the loop is usable
+    # under shard_map (constants would mismatch the varying outputs).
+    zero_i = (t0 * 0.0).astype(jnp.int32)
     state = dict(
         t=jnp.where(alive0, t0, jnp.float32(INF)),
         ipos=jnp.where(alive0[..., None], ipos0, -1),
-        lod=jnp.zeros(n, jnp.int32),
+        lod=zero_i,
         normal=jnp.where(alive0[..., None], normal0, 0.0),
         active=alive0,
-        hit=jnp.zeros(n, jnp.bool_),
-        advances=jnp.zeros(n, jnp.int32),
+        hit=alive0 & ~alive0,
+        advances=zero_i,
         total=jnp.int32(0),
     )
 

@@ -34,7 +34,7 @@ def lookup_onehot(table: jax.Array, idx: jax.Array) -> jax.Array:
     """
     r = table.shape[0]
     onehot = jax.nn.one_hot(idx, r, dtype=table.dtype)
-    return onehot @ table
+    return jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)
 
 
 def lookup_2d_onehot(table: jax.Array, i: jax.Array, j: jax.Array) -> jax.Array:

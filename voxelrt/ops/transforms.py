@@ -11,8 +11,17 @@ import jax.numpy as jnp
 
 
 def apply_mat4(m, v3, w):
-    """Apply a 4x4 matrix to (..., 3) points with homogeneous w -> (..., 4)."""
-    return jnp.einsum("ij,...j->...i", m[:, :3], v3) + m[:, 3] * w
+    """Apply a 4x4 matrix to (..., 3) points with homogeneous w -> (..., 4).
+
+    Written as explicit multiply-adds: a contraction would be routed to the
+    MXU at default (bfloat16-pass) precision on TPU, which is catastrophic
+    for camera transforms."""
+    out = [
+        m[i, 0] * v3[..., 0] + m[i, 1] * v3[..., 1] + m[i, 2] * v3[..., 2]
+        + m[i, 3] * w
+        for i in range(4)
+    ]
+    return jnp.stack(out, axis=-1)
 
 
 def linearize_depth(depth, inv_proj):

@@ -93,6 +93,9 @@ def parallel_render(cfg, scene, params, key, spp, mesh,
 
     u = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[:, None], (w, h))
     v = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[None, :], (w, h))
+    u = jax.device_put(u, NamedSharding(mesh, P("dp", None)))
+    v = jax.device_put(v, NamedSharding(mesh, P("dp", None)))
+    key = jax.device_put(key, NamedSharding(mesh, P()))
 
     def shard_fn(scene, params, u, v, key):
         sp_idx = jax.lax.axis_index("sp")
@@ -105,9 +108,14 @@ def parallel_render(cfg, scene, params, key, spp, mesh,
                                camera_is_moving, render_scale)
             return acc + out["diffuse"] + out["specular"]
 
-        acc = jax.lax.fori_loop(
-            0, local_spp, body, jnp.zeros((uf.shape[0], 3), jnp.float32)
+        # init must be varying over BOTH mesh axes (shard_map scan-vma rule):
+        # dp via the pixel coords, sp via the axis index.
+        acc0 = (
+            jnp.zeros((uf.shape[0], 3), jnp.float32)
+            + (uf * 0.0)[:, None]
+            + sp_idx.astype(jnp.float32) * 0.0
         )
+        acc = jax.lax.fori_loop(0, local_spp, body, acc0)
         acc = jax.lax.pmean(acc / local_spp, axis_name="sp")
         return acc.reshape(u.shape + (3,))
 

@@ -102,11 +102,9 @@ def _catmullrom(x):
 
 def reproject(world_pos, prev_view, prev_proj):
     """renderer/pathtracer.py:993-1000."""
-    p = view_to_screen(
-        jnp.einsum("ij,...j->...i", prev_view[:3, :3], world_pos) + prev_view[:3, 3],
-        prev_proj,
-    )
-    return p
+    from voxelrt.ops.transforms import world_to_view
+
+    return view_to_screen(world_to_view(world_pos, prev_view), prev_proj)
 
 
 def _history_filter(cfg, history, prev_depth, prev_normals, uv, center_depth,

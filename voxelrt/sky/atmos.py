@@ -36,6 +36,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _mat3vec(m, v):
+    """Explicit 3x3 @ (..., 3) — avoids low-precision MXU routing."""
+    return jnp.stack(
+        [m[i, 0] * v[..., 0] + m[i, 1] * v[..., 1] + m[i, 2] * v[..., 2]
+         for i in range(3)],
+        axis=-1,
+    )
+
 from voxelrt.ops.sampling import (
     PI,
     dot,
@@ -165,7 +174,7 @@ def sun_transmittance(pos, dir, steps: int = TRANS_QUAD_STEPS):
     od = jax.lax.fori_loop(
         0, steps, body, jnp.zeros(pos.shape[:-1] + (3,), jnp.float32)
     )
-    trans = jnp.exp(-jnp.einsum("cs,...s->...c", jnp.asarray(EXTINC_MAT), od))
+    trans = jnp.exp(-_mat3vec(jnp.asarray(EXTINC_MAT), od))
     near_p, _ = rsi(pos, dir, PLANET_R)
     return jnp.where((near_p > 0.0)[..., None], 0.0, trans)
 
@@ -219,7 +228,7 @@ def get_ray_transmittance(ray_pos, ray_dir):
         return od, p + ray_step
 
     od, p = jax.lax.fori_loop(0, steps, body, (od, p))
-    trans = jnp.exp(-jnp.einsum("cs,...s->...c", jnp.asarray(EXTINC_MAT), od))
+    trans = jnp.exp(-_mat3vec(jnp.asarray(EXTINC_MAT), od))
     near_p, _ = rsi(p, ray_dir, PLANET_R)
     return jnp.where((near_p > 0.0)[..., None], 0.0, trans)
 
@@ -488,9 +497,7 @@ def atmospheric_scattering(cfg, ray_origin, ray_dir, sun_dir, sun_col,
         ray_pos = pos0 + ray_step * jnp.float32(i)
         h = get_elevation(ray_pos)
         density = get_density(h)
-        step_od = jnp.einsum(
-            "cs,...s->...c", extinc, density * step_delta[..., None]
-        )
+        step_od = _mat3vec(extinc, density * step_delta[..., None])
         step_trans = saturate(jnp.exp(-step_od))
         visible = transmittance * saturate(
             (1.0 - step_trans) / jnp.maximum(step_od, 1e-20)
