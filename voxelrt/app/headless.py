@@ -132,8 +132,13 @@ class HeadlessRenderer:
 
     def render(self, spp=512, chunk=None, log_every=128):
         """Accumulate ``spp`` samples with the camera fixed; returns the
-        tonemapped (W, H, 3) float image."""
-        chunk = chunk or max(1, min(spp, self.cfg.samples_per_launch * 32))
+        tonemapped (W, H, 3) float image.
+
+        ``chunk`` samples run inside one dispatch; keep it modest — a single
+        multi-minute device call can trip the TPU worker watchdog (the same
+        failure mode the reference dodges by slicing its skybox work,
+        scene.py:203)."""
+        chunk = chunk or max(1, min(spp, self.cfg.samples_per_launch * 8))
         params = self._params(max_accum_frames=999999999.0)
         done = 0
         t0 = time.perf_counter()

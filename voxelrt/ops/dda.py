@@ -126,8 +126,12 @@ def _raytrace_impl(words, origin, direction, ray_min_t, ray_max_t,
         ipos0_ = s["ipos"]
         lod = s["lod"]
 
-        # Miss when past the far clip (raytracer.py:104-106).
-        miss = active & (t > far)
+        # Miss when past the far clip (raytracer.py:104-106) or outside the
+        # grid (the far-clip float comparison can miss the exit face by an
+        # ulp and alias an out-of-range index onto another cell's bits — a
+        # latent bug the reference shares via unchecked field reads).
+        inb = jnp.all((ipos0_ >= 0) & (ipos0_ < grid_res), axis=-1)
+        miss = active & ((t > far) | ~inb)
 
         cell = ipos0_ >> lod[..., None]
         occ = query_occupancy(pyr, jnp.maximum(cell, 0), lod)

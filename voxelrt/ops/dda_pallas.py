@@ -160,7 +160,15 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         lod = s["lod"]
         active = s["active"] != 0
 
-        miss = active & (t > far)
+        # A ray that stepped outside the grid has left the volume — the
+        # far-clip float comparison alone can miss the exit face by an ulp,
+        # which would alias the out-of-range cell onto another cell's bits
+        # (a latent bug the reference shares via unchecked field reads).
+        inb = (
+            (px >= 0) & (px < res) & (py >= 0) & (py < res)
+            & (pz >= 0) & (pz < res)
+        )
+        miss = active & ((t > far) | ~inb)
         live = active & ~miss
 
         cell = ((pz >> 2) * r2 + (py >> 2)) * r2 + (px >> 2)
