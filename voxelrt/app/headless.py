@@ -152,7 +152,9 @@ class HeadlessRenderer:
             self._frame += n
             done += n
             if not self.quiet and (done % log_every == 0 or done == spp):
-                jax.block_until_ready(self.state.color)
+                from voxelrt.utils.profiling import sync
+
+                sync(self.state.color)  # block_until_ready is a no-op here
                 print(f"  {done}/{spp} spp  ({time.perf_counter() - t0:.2f}s)")
         self.copy_prev_matrices()
         return self.fetch_image(render_scale=1.0)

@@ -23,9 +23,7 @@ import jax.numpy as jnp
 from voxelrt.ops.sampling import (
     PI,
     dot,
-    dot3,
     luminance,
-    make_orthonormal_basis,
     mix,
     normalize,
     reflect,

@@ -16,7 +16,6 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
-import time
 from datetime import datetime
 
 import numpy as np

@@ -48,7 +48,6 @@ def _mat3vec(m, v):
 from voxelrt.ops.sampling import (
     PI,
     dot,
-    get_unit_vec,
     mix,
     normalize,
     sample_cone_oriented,
