@@ -33,6 +33,7 @@ body{margin:0;background:#111;color:#ccc;font:13px monospace}
 img{display:block;margin:auto;image-rendering:pixelated}
 </style></head><body>
 <div id="hud">WASDQE move &middot; drag to orbit &middot; P screenshot<br>
+FOV <input id="fov" type="range" min="1" max="90" value="50" style="width:90px">
 <span id="stat"></span></div>
 <img id="view" width="%W%" height="%H%">
 <script>
@@ -44,7 +45,8 @@ img.onmousedown = e=>drag=[e.clientX,e.clientY];
 onmouseup = ()=>drag=null;
 onmousemove = e=>{ if(drag){acc.dx+=(e.clientX-drag[0])/%W%; acc.dy+=(e.clientY-drag[1])/%H%; drag=[e.clientX,e.clientY];} };
 async function loop(){
-  const q = new URLSearchParams({keys:[...keys].join(''), dx:acc.dx, dy:acc.dy});
+  const q = new URLSearchParams({keys:[...keys].join(''), dx:acc.dx, dy:acc.dy,
+    fov:document.getElementById('fov').value});
   acc={dx:0,dy:0};
   await fetch('/input?'+q);
   img.src = '/frame.png?t='+Date.now();
@@ -62,6 +64,7 @@ class ViewerState:
         self.keys = ""
         self.dx = 0.0
         self.dy = 0.0
+        self.fov_deg = None
         self.lock = threading.Lock()
         self.frame_png = b""
         self.stat = dict(spp=0, ms=0.0, moving=False)
@@ -104,6 +107,8 @@ def serve(scene, port=8000, host="127.0.0.1", spp_per_frame=1):
                     vs.keys = q.get("keys", [""])[0]
                     vs.dx += float(q.get("dx", ["0"])[0])
                     vs.dy += float(q.get("dy", ["0"])[0])
+                    if "fov" in q:  # FOV slider (scene.py:284-291)
+                        vs.fov_deg = float(q["fov"][0])
                 self._send(200, "text/plain", b"ok")
             else:
                 self._send(404, "text/plain", b"not found")
@@ -117,6 +122,10 @@ def serve(scene, port=8000, host="127.0.0.1", spp_per_frame=1):
             with vs.lock:
                 keys, dx, dy = vs.keys, vs.dx, vs.dy
                 vs.dx = vs.dy = 0.0
+                if vs.fov_deg is not None:
+                    import math
+
+                    scene._fov = math.radians(vs.fov_deg)
             f = {"move_keys": [k for k in keys if k in "wasdqe"]}
             if dx or dy:
                 f["orbit"] = (dx, dy)
