@@ -1,0 +1,95 @@
+"""Interactive-equivalent benchmark: animated camera path (BASELINE.json
+config 5 — "ReSTIR reservoir-resampled direct lighting + blue-noise sampling
+over an animated camera path").
+
+Runs a scripted orbit+dolly path through an example scene with the
+reference's motion policy active (render_scale 0.5, 50-frame accumulation
+cap while moving — scene.py:209-228), optionally with ReSTIR-PT spatial
+reuse enabled, and reports ms/frame.
+
+    python tools/camera_path_bench.py [--scene example1] [--frames 24]
+                                      [--restir] [--res 640x360]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import importlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "examples")
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="example1")
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--res", default="640x360")
+    ap.add_argument("--restir", action="store_true")
+    ap.add_argument("--out", default=None, help="write the final frame PNG")
+    args = ap.parse_args()
+    w, h = (int(x) for x in args.res.split("x"))
+
+    sys.argv = ["bench"]
+    mod = importlib.import_module(args.scene)
+    if hasattr(mod, "initialize_voxels"):
+        mod.initialize_voxels()
+    else:
+        mod.initialize()
+        if hasattr(mod, "draw"):
+            mod.draw()
+    scene = mod.scene
+    scene.quiet = True
+    scene.config = dataclasses.replace(
+        scene.config, image_res=(w, h), use_restir_pt=args.restir
+    )
+
+    # Orbit + dolly path, then hold still to accumulate.
+    frames = []
+    for i in range(args.frames):
+        frames.append({"orbit": (0.01, 0.002), "move_keys": ["w"],
+                       "dt": 0.02})
+    frames += [{"dt": 0.02}] * max(4, args.frames // 4)
+
+    times = []
+    t_last = [time.perf_counter()]
+
+    def on_frame(i, img):
+        now = time.perf_counter()
+        times.append(now - t_last[0])
+        t_last[0] = now
+
+    img = scene.run_frames(frames, spp_per_frame=1, on_frame=on_frame)
+    if args.out:
+        from voxelrt.utils.image import write_png
+
+        write_png(args.out, img)
+
+    # Skip the first frames of each phase (compile).
+    moving = sorted(times[2:args.frames])
+    still = sorted(times[args.frames + 2:])
+    med = lambda xs: xs[len(xs) // 2] * 1e3 if xs else float("nan")
+    print(json.dumps({
+        "metric": "camera_path_ms_per_frame",
+        "value": round(med(moving), 2),
+        "unit": "ms",
+        "still_ms_per_frame": round(med(still), 2),
+        "restir": args.restir,
+        "res": args.res,
+        "frames": len(times),
+        "final_mean": float(np.asarray(img).mean()),
+    }))
+
+
+if __name__ == "__main__":
+    main()
