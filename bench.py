@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="actually run all --spp samples")
     ap.add_argument("--out", default=None, help="optionally write the PNG")
+    ap.add_argument("--cfg", nargs="*", default=[],
+                    help="config overrides, e.g. sort_rays=False max_ray_depth=2")
     args = ap.parse_args()
 
     w, h = (int(x) for x in args.res.split("x"))
@@ -67,6 +69,19 @@ def main():
 
     t_setup0 = time.perf_counter()
     scene = build_scene(args.scene, (w, h))
+    if args.cfg:
+        import ast
+
+        over = {}
+        for kv in args.cfg:
+            k, v = kv.split("=", 1)
+            try:
+                over[k] = ast.literal_eval(v)
+            except ValueError:
+                over[k] = v
+        scene.config = scene.config.__class__(
+            **{**scene.config.__dict__, **over}
+        )
     r = scene.renderer
     r.prepare_data()
     setup_s = time.perf_counter() - t_setup0

@@ -1,18 +1,27 @@
-"""Test configuration: force a virtual 8-device CPU mesh before jax imports.
+"""Test configuration: force a hermetic 8-device CPU mesh.
 
 Multi-chip sharding is validated on host devices
 (xla_force_host_platform_device_count) since only one real TPU chip is
 available in CI; the driver's dryrun separately exercises the same code.
+
+On hosts with a TPU PJRT plugin baked into sitecustomize (the axon tunnel),
+the plugin pins itself as the default platform at interpreter start — the
+JAX_PLATFORMS env var alone does NOT win. `jax.config.update` after import
+does, and keeps the test suite off the (single, easily-wedged) TPU tunnel.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

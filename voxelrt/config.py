@@ -54,6 +54,14 @@ class RenderConfig:
     use_pallas_dda: bool = False
     pallas_interpret: bool = False
 
+    # Sort incoherent (bounce/shadow) rays by origin-cell morton code before
+    # dispatching the Pallas kernel: terminated lanes compact to the back
+    # (whole blocks exit after one iteration) and live blocks become
+    # spatially tight, shrinking per-block straggler iteration counts and
+    # mask-fetch working sets. A 1M-ray multi-payload route+unroute costs
+    # ~4 ms on v5e (tools/sort_bench.py) vs ~50 ms saved on bounce traces.
+    sort_rays: bool = True
+
     # Vignette (renderer/pathtracer.py:32-34).
     vignette_strength: float = 0.9
     vignette_radius: float = 0.0

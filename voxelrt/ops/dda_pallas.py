@@ -3,20 +3,28 @@
 Same traversal semantics as voxelrt.ops.dda (itself derived from
 renderer/raytracer.py:72-155) but engineered for the TPU memory system —
 XLA's native gather runs at ~0.1 G/s, 300× too slow for the DDA inner loop
-(PERF_NOTES.md). Design:
+(PERF_NOTES.md). Design (v4):
 
-  * the whole march runs inside one kernel; rays processed in (8·S, 128)
+  * the whole march runs inside one kernel; rays processed in (8, 128)
     lock-step blocks, occupancy tables resident in VMEM;
+  * empty space is crossed with a 4-bit chebyshev DISTANCE FIELD over 8³
+    cells (ops.accel.dist3_words): a value d ≥ 1 certifies the radius-(d-1)
+    cell box empty, so one iteration advances the ray to that box's exit —
+    replacing the reference's LOD3..LOD6 pyramid descent/ascent
+    (renderer/raytracer.py:110-147) with a single query + skip;
   * LOD2 occupancy (one bit per 4³ cell, 1024 u32 words at 128³) is gathered
     with the "roll trick": 8 × (static row slice → broadcast → lane shuffle
     → select) ≈ 1 cycle/vreg lane shuffle;
-  * LOD3 (128 words) is a single broadcast + lane shuffle;
-  * each ray caches the 64-bit voxel mask of its current 4³ cell in two
-    registers; marching inside the cell is pure ALU (no memory);
-  * mask fetches (on entering a new occupied cell) and the hit color fetch
-    run as range-limited scans over the VMEM tables, skipping vreg groups no
-    ray in the block needs — coherent blocks touch only a few groups;
-  * shadow rays skip the color fetch entirely.
+  * on entering an occupied 4³ cell the ray fetches the cell's 64-bit voxel
+    mask and RESOLVES THE WHOLE CELL in registers in that same iteration: an
+    unrolled ≤10-step single-voxel DDA over the mask (pure ALU, no memory) —
+    the v3 kernel spent one full gather-laden outer iteration per voxel;
+  * mask fetches and the hit color fetch run as range-limited scans over the
+    VMEM tables, skipping vreg groups no ray in the block needs — the 16×8
+    screen-tile ray order (render/pipeline.py) keeps those ranges tight;
+  * fetch rounds are adaptively deferred so rays reaching occupied cells on
+    adjacent iterations share one scan;
+  * shadow rays run in ``any_hit`` mode: no normal tracking, no color fetch.
 
 Outputs match ops.dda.raytrace: (distance, ipos, normal, iters) plus the hit
 voxel's packed color word (so shading needs no separate gather).
@@ -38,6 +46,7 @@ from voxelrt.ops.accel import PallasTables
 LANES = 128
 SUBLANES = 8
 BLOCK_RAYS = SUBLANES * LANES  # rays per grid step
+CELL_RESOLVE_STEPS = 10  # max voxel advances crossing a 4³ cell
 
 
 def _gather_1024(table_slab, word_idx):
@@ -65,21 +74,31 @@ def _morton3(x, y, z):
     return _part1by2(x) | (_part1by2(y) << 1) | (_part1by2(z) << 2)
 
 
-def _gather_row(row128, word_idx):
-    """Gather from a (1, 128) row broadcast across sublanes; idx in [0, 128)."""
-    row = jnp.broadcast_to(row128, (8, 128))
-    return jnp.take_along_axis(row, word_idx & 127, axis=1)
+def _gather_words(table_ref, word_idx, n_words):
+    """Gather u32 words from a small VMEM table by absolute index
+    [0, n_words); costs ceil(n_words/128) lane-shuffle rounds."""
+    rounds = -(-n_words // LANES)
+    lane = word_idx & 127
+    row_id = word_idx >> 7
+    out = jnp.zeros_like(word_idx)
+    for k in range(rounds):
+        row = jnp.broadcast_to(table_ref[k : k + 1, :], word_idx.shape)
+        g = jnp.take_along_axis(row, lane, axis=1)
+        out = jnp.where(row_id == k, g, out) if rounds > 1 else g
+    return out
 
 
 def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                      tmin_ref, tmax_ref,
-                     lod2_ref, lod3_ref, masks_ref, colors_ref,
+                     lod2_ref, dist3_ref, masks_lo_ref, masks_hi_ref,
+                     colors_ref,
                      t_ref, ix_ref, iy_ref, iz_ref,
                      nx_ref, ny_ref, nz_ref, it_ref, col_ref,
-                     *, grid_res, max_advances, fetch_colors):
+                     *, grid_res, max_advances, fetch_colors, any_hit,
+                     n_lod2_words, n_dist3_words, fetch_cadence=2,
+                     slow_after=48, debug_totals=False):
     res = grid_res
     r2 = res // 4
-    r3 = res // 8
     fres = float(res)
     BIG = jnp.float32(3.0e38)
 
@@ -87,8 +106,6 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     tmin = tmin_ref[0]
     tmax = tmax_ref[0]
-
-    lod2 = lod2_ref[:]  # (8, 128)
 
     inv_x = 1.0 / jnp.maximum(jnp.abs(dx), 1e-20)
     inv_y = 1.0 / jnp.maximum(jnp.abs(dy), 1e-20)
@@ -124,40 +141,45 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     pz0 = jnp.clip(jnp.floor(oz + dz * (t0 + eps)), 0.0, fres - 1.0)
     far = jnp.minimum(tmax, far_box) - eps
 
-    # boundary-voxel initial normal (raytracer.py:98-101)
-    idx_ = jnp.abs(ox + dx * (t0 + eps) - fres * 0.5)
-    idy_ = jnp.abs(oy + dy * (t0 + eps) - fres * 0.5)
-    idz_ = jnp.abs(oz + dz * (t0 + eps) - fres * 0.5)
-    mx = jnp.maximum(jnp.maximum(idx_, idy_), idz_)
-    nx0 = (idx_ == mx).astype(jnp.float32)
-    ny0 = (idy_ == mx).astype(jnp.float32)
-    nz0 = (idz_ == mx).astype(jnp.float32)
+    if any_hit:
+        nx0 = ny0 = nz0 = jnp.zeros(px0.shape, jnp.float32)
+    else:
+        # boundary-voxel initial normal (raytracer.py:98-101)
+        idx_ = jnp.abs(ox + dx * (t0 + eps) - fres * 0.5)
+        idy_ = jnp.abs(oy + dy * (t0 + eps) - fres * 0.5)
+        idz_ = jnp.abs(oz + dz * (t0 + eps) - fres * 0.5)
+        mx = jnp.maximum(jnp.maximum(idx_, idy_), idz_)
+        nx0 = jnp.where(alive0, (idx_ == mx).astype(jnp.float32), 0.0)
+        ny0 = jnp.where(alive0, (idy_ == mx).astype(jnp.float32), 0.0)
+        nz0 = jnp.where(alive0, (idz_ == mx).astype(jnp.float32), 0.0)
 
     state = dict(
         t=jnp.where(alive0, t0, BIG),
         px=px0.astype(jnp.int32), py=py0.astype(jnp.int32),
         pz=pz0.astype(jnp.int32),
-        lod=jnp.full(px0.shape, 2, jnp.int32),
-        nx=jnp.where(alive0, nx0, 0.0), ny=jnp.where(alive0, ny0, 0.0),
-        nz=jnp.where(alive0, nz0, 0.0),
+        nx=nx0, ny=ny0, nz=nz0,
         active=alive0.astype(jnp.int32),
         hit=jnp.zeros(px0.shape, jnp.int32),
         adv=jnp.zeros(px0.shape, jnp.int32),
-        mask_lo=jnp.zeros(px0.shape, jnp.int32),
-        mask_hi=jnp.zeros(px0.shape, jnp.int32),
-        mask_cell=jnp.full(px0.shape, -1, jnp.int32),
         total=jnp.int32(0),
+        n_live=jnp.sum(alive0.astype(jnp.int32)),
+        n_fetch=jnp.int32(0),
+        n_grp=jnp.int32(0),
     )
 
-    max_total = 3 * max_advances + 64
+    # Each iteration is an advance, a cell resolve, or a (deferral) stall;
+    # stalls alternate with fetches so total ≤ ~2× work iterations.
+    max_total = 2 * max_advances + 64
 
     def cond(s):
-        return jnp.any(s["active"] != 0) & (s["total"] < max_total)
+        # n_live is the live count at the START of the previous body run (one
+        # packed reduce there); a block does at most one extra masked-out
+        # iteration compared to an exact end-of-body liveness check.
+        return (s["n_live"] > 0) & (s["total"] < max_total)
 
     def body(s):
         t = s["t"]
         px, py, pz = s["px"], s["py"], s["pz"]
-        lod = s["lod"]
         active = s["active"] != 0
 
         # A ray that stepped outside the grid has left the volume — the
@@ -172,131 +194,186 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         live = active & ~miss
 
         cell = ((pz >> 2) * r2 + (py >> 2)) * r2 + (px >> 2)
-        c3 = ((pz >> 3) * r3 + (py >> 3)) * r3 + (px >> 3)
-
-        w2 = _gather_1024(lod2, cell >> 5)
+        w2 = _gather_words(lod2_ref, cell >> 5, n_lod2_words)
         occ2 = ((w2 >> (cell & 31)) & 1) != 0
-        w3 = _gather_row(lod3_ref[0:1, :], c3 >> 5)
-        occ3 = ((w3 >> (c3 & 31)) & 1) != 0
-        local = ((pz & 3) * 4 + (py & 3)) * 4 + (px & 3)
-        mword = jnp.where(local < 32, s["mask_lo"], s["mask_hi"])
-        occ0 = ((mword >> (local & 31)) & 1) != 0
+        at_occ = live & occ2
 
-        at0 = lod == 0
-        at2 = lod == 2
-        at3 = lod == 3
-        occ = (at0 & occ0) | (at2 & occ2) | (at3 & occ3)
-
-        hit_now = live & at0 & occ
-        cached = s["mask_cell"] == cell
-        descend3 = live & at3 & occ  # lod 3 -> 2, no fetch needed
-        need_fetch = live & at2 & occ & ~cached
-        descend2 = live & at2 & occ & cached  # reuse cached mask
-        advance = live & ~occ
-
-        # --- fetch cell masks for rays entering a new occupied cell -------
-        # Deferred batching: fetch rounds run every other iteration so rays
-        # arriving at occupied cells on adjacent iterations share one scan;
-        # waiting rays simply stall (they are on an occupied cell, so they
-        # cannot advance).
-        grp = cell >> 9  # 512 cells per (8,128) slab of mask words
-        n_grps = masks_ref.shape[0] // 8
-        gmin = jnp.min(jnp.where(need_fetch, grp, n_grps - 1))
-        gmax = jnp.max(jnp.where(need_fetch, grp, 0))
-        # Adaptive deferral: fetch immediately when a sizable share of live
-        # lanes is waiting (coherent wavefronts), else batch every 2nd iter.
-        cnt_f = jnp.sum(need_fetch.astype(jnp.int32))
-        cnt_a = jnp.sum(live.astype(jnp.int32))
-        do_fetch = (cnt_f > 0) & (
-            (4 * cnt_f >= cnt_a) | ((s["total"] & 1) == 0)
+        # --- fetch + whole-cell resolve for rays at occupied cells --------
+        # Deferred batching: fetch rounds run every ``fetch_cadence``-th
+        # iteration so rays arriving at occupied cells on adjacent iterations
+        # share one round; waiting rays simply stall (they cannot advance
+        # while occupied). Mask tables are MORTON cell-ordered so a block's
+        # 3-D-local working set is a handful of distinct slab groups.
+        mcell = _morton3(px >> 2, py >> 2, pz >> 2)
+        grp = mcell >> 10  # 1024 cells per (8,128) slab of mask words
+        # ONE packed min-reduce answers three questions (scalar-producing
+        # reductions cost ~130 ns each): BIGI ⇒ no live rays (loop can stop),
+        # NOFETCH ⇒ live rays but none at an occupied cell, < NOFETCH ⇒ the
+        # lowest wanted mask group.
+        NOFETCH = jnp.int32(0x40000000)
+        BIGI = jnp.int32(0x7FFFFFFF)
+        key0 = jnp.min(
+            jnp.where(at_occ, grp, jnp.where(live, NOFETCH, BIGI))
         )
+        do_fetch = (key0 < NOFETCH) & (
+            (s["total"] % fetch_cadence == 0) | (s["total"] >= slow_after)
+        )
+        widx = mcell & 1023  # word index within the group slab
 
-        mask_lo, mask_hi = s["mask_lo"], s["mask_hi"]
-        widx = (2 * cell) & 1023  # lo word index within the group slab
+        def fetch_and_resolve():
+            # Iterate DISTINCT groups via a min-reduce loop; the min doubles
+            # as the done test so each group costs one reduce + one fetch.
+            def fcond(c):
+                return c[2] < NOFETCH
 
-        def fetch_group(g, carry):
-            lo, hi = carry
-            wanted = need_fetch & (grp == g)
-            slab_ = masks_ref[pl.ds(g * 8, 8), :]
-            glo = _gather_1024(slab_, widx)
-            ghi = _gather_1024(slab_, widx + 1)
-            return (jnp.where(wanted, glo, lo), jnp.where(wanted, ghi, hi))
+            def fbody(c):
+                lo, hi, g, remaining, ng = c
+                wanted = (remaining != 0) & (grp == g)
+                glo = _gather_1024(masks_lo_ref[pl.ds(g * 8, 8), :], widx)
+                ghi = _gather_1024(masks_hi_ref[pl.ds(g * 8, 8), :], widx)
+                lo = jnp.where(wanted, glo, lo)
+                hi = jnp.where(wanted, ghi, hi)
+                remaining = remaining & ~wanted.astype(jnp.int32)
+                ng2 = jnp.min(jnp.where(remaining != 0, grp, BIGI))
+                return lo, hi, ng2, remaining, ng + 1
 
-        mask_lo, mask_hi = jax.lax.cond(
+            mask_lo, mask_hi, _, _, ngrp = jax.lax.while_loop(
+                fcond, fbody,
+                (jnp.zeros_like(px), jnp.zeros_like(px), key0,
+                 at_occ.astype(jnp.int32), jnp.int32(0)),
+            )
+
+            # In-register single-voxel DDA across the fetched 4³ cell: the
+            # entry voxel is tested, then ≤10 watertight unit advances (the
+            # longest monotone voxel path through a 4³ box) — all lanes run
+            # the unroll; non-resolving lanes are masked out.
+            cbx = ((px >> 2) << 2)
+            cby = ((py >> 2) << 2)
+            cbz = ((pz >> 2) << 2)
+            rt, rpx, rpy, rpz = t, px, py, pz
+            rnx, rny, rnz = s["nx"], s["ny"], s["nz"]
+            rhit = jnp.zeros(px.shape, jnp.bool_)
+            steps = jnp.zeros(px.shape, jnp.int32)
+            moving = at_occ
+            for step in range(CELL_RESOLVE_STEPS + 1):
+                local = ((rpz & 3) * 4 + (rpy & 3)) * 4 + (rpx & 3)
+                mword = jnp.where(local < 32, mask_lo, mask_hi)
+                occ0 = ((mword >> (local & 31)) & 1) != 0
+                hit_now = moving & occ0 & (rt <= far)
+                rhit = rhit | hit_now
+                moving = moving & ~hit_now & (rt <= far)
+                if step == CELL_RESOLVE_STEPS:
+                    break
+                # unit-cell watertight advance (cs = 1 ⇒ the reconstructed
+                # in-cell coordinate is always 0: new voxel = p + exit axis)
+                fx = ox + dx * rt - rpx.astype(jnp.float32)
+                fy = oy + dy * rt - rpy.astype(jnp.float32)
+                fz = oz + dz * rt - rpz.astype(jnp.float32)
+                dxx = jnp.where(dx > 0.0, 1.0 - fx, fx)
+                dyy = jnp.where(dy > 0.0, 1.0 - fy, fy)
+                dzz = jnp.where(dz > 0.0, 1.0 - fz, fz)
+                txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
+                tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
+                tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
+                mint = jnp.maximum(jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
+                anx = (txx == mint).astype(jnp.float32) * sx
+                any_ = (tyy == mint).astype(jnp.float32) * sy
+                anz = (tzz == mint).astype(jnp.float32) * sz
+                npx = rpx + anx.astype(jnp.int32)
+                npy = rpy + any_.astype(jnp.int32)
+                npz = rpz + anz.astype(jnp.int32)
+                rt = jnp.where(moving, rt + mint, rt)
+                rpx = jnp.where(moving, npx, rpx)
+                rpy = jnp.where(moving, npy, rpy)
+                rpz = jnp.where(moving, npz, rpz)
+                if not any_hit:
+                    rnx = jnp.where(moving, anx, rnx)
+                    rny = jnp.where(moving, any_, rny)
+                    rnz = jnp.where(moving, anz, rnz)
+                steps = steps + moving.astype(jnp.int32)
+                exited = (
+                    ((rpx >> 2) << 2 != cbx) | ((rpy >> 2) << 2 != cby)
+                    | ((rpz >> 2) << 2 != cbz)
+                )
+                moving = moving & ~exited
+            return rt, rpx, rpy, rpz, rnx, rny, rnz, \
+                rhit.astype(jnp.int32), steps, ngrp
+
+        t1, px1, py1, pz1, nx1, ny1, nz1, hit1, steps1, ngrp1 = jax.lax.cond(
             do_fetch,
-            lambda: jax.lax.fori_loop(gmin, gmax + 1, fetch_group,
-                                      (mask_lo, mask_hi)),
-            lambda: (mask_lo, mask_hi),
+            fetch_and_resolve,
+            lambda: (t, px, py, pz, s["nx"], s["ny"], s["nz"],
+                     jnp.zeros_like(px), jnp.zeros_like(px), jnp.int32(0)),
         )
-        fetched = need_fetch & do_fetch
-        mask_cell = jnp.where(fetched, cell, s["mask_cell"])
 
-        # --- watertight advance (raytracer.py:124-147) ---------------------
-        cs_i = jnp.int32(1) << jnp.where(at0, 0, jnp.where(at2, 2, 3))
-        cs = cs_i.astype(jnp.float32)
-        bx = (px >> jnp.where(at0, 0, jnp.where(at2, 2, 3))).astype(jnp.float32) * cs
-        by = (py >> jnp.where(at0, 0, jnp.where(at2, 2, 3))).astype(jnp.float32) * cs
-        bz = (pz >> jnp.where(at0, 0, jnp.where(at2, 2, 3))).astype(jnp.float32) * cs
-        fx = ox + dx * t - bx
-        fy = oy + dy * t - by
-        fz = oz + dz * t - bz
-        dxx = jnp.where(dx > 0.0, cs - fx, fx)
-        dyy = jnp.where(dy > 0.0, cs - fy, fy)
-        dzz = jnp.where(dz > 0.0, cs - fz, fz)
+        # --- empty-space march (distance-field skip) -----------------------
+        c3x, c3y, c3z = px >> 3, py >> 3, pz >> 3
+        r3 = res // 8
+        c3 = (c3z * r3 + c3y) * r3 + c3x
+        w3 = _gather_words(dist3_ref, c3 >> 3, n_dist3_words)
+        d3 = (w3 >> ((c3 & 7) * 4)) & 15
+
+        skip = d3 >= 1
+        rad = (d3 - 1).astype(jnp.int32)
+        lox = jnp.where(skip, (c3x - rad) << 3, (px >> 2) << 2).astype(jnp.float32)
+        loy = jnp.where(skip, (c3y - rad) << 3, (py >> 2) << 2).astype(jnp.float32)
+        loz = jnp.where(skip, (c3z - rad) << 3, (pz >> 2) << 2).astype(jnp.float32)
+        ext = jnp.where(skip, (2 * rad + 1) << 3, 4).astype(jnp.float32)
+
+        # watertight advance to the box exit (raytracer.py:124-147 scheme)
+        fx = ox + dx * t - lox
+        fy = oy + dy * t - loy
+        fz = oz + dz * t - loz
+        dxx = jnp.where(dx > 0.0, ext - fx, fx)
+        dyy = jnp.where(dy > 0.0, ext - fy, fy)
+        dzz = jnp.where(dz > 0.0, ext - fz, fz)
         txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
         tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
         tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
-        mint = jnp.minimum(jnp.minimum(txx, tyy), tzz)
-        ex = jnp.clip(jnp.floor(fx + mint * dx), 0.0, cs - 1.0)
-        ey = jnp.clip(jnp.floor(fy + mint * dy), 0.0, cs - 1.0)
-        ez = jnp.clip(jnp.floor(fz + mint * dz), 0.0, cs - 1.0)
+        mint = jnp.maximum(jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
+        ex = jnp.clip(jnp.floor(fx + mint * dx), 0.0, ext - 1.0)
+        ey = jnp.clip(jnp.floor(fy + mint * dy), 0.0, ext - 1.0)
+        ez = jnp.clip(jnp.floor(fz + mint * dz), 0.0, ext - 1.0)
         anx = (txx == mint).astype(jnp.float32) * sx
         any_ = (tyy == mint).astype(jnp.float32) * sy
         anz = (tzz == mint).astype(jnp.float32) * sz
-        napx = (bx + ex + anx).astype(jnp.int32)
-        napy = (by + ey + any_).astype(jnp.int32)
-        napz = (bz + ez + anz).astype(jnp.int32)
+        napx = (lox + ex + anx).astype(jnp.int32)
+        napy = (loy + ey + any_).astype(jnp.int32)
+        napz = (loz + ez + anz).astype(jnp.int32)
         nat = t + mint
 
-        # post-advance lod: stay in-cell while the cached mask still covers
-        # the new position; otherwise coarsen one level (0->2, 2->3, 3->3).
-        ncell = ((napz >> 2) * r2 + (napy >> 2)) * r2 + (napx >> 2)
-        same_cell = ncell == mask_cell
-        adv_lod = jnp.where(
-            at0 & same_cell, 0,
-            jnp.where(at0, 2, 3),
-        )
+        march = live & ~occ2
 
         out = dict(s)
-        out["t"] = jnp.where(miss, BIG, jnp.where(advance, nat, t))
-        out["px"] = jnp.where(advance, napx, px)
-        out["py"] = jnp.where(advance, napy, py)
-        out["pz"] = jnp.where(advance, napz, pz)
-        out["lod"] = jnp.where(
-            advance, adv_lod,
-            jnp.where(descend3, 2, jnp.where(fetched | descend2, 0, lod)),
-        )
-        out["nx"] = jnp.where(advance, anx, s["nx"])
-        out["ny"] = jnp.where(advance, any_, s["ny"])
-        out["nz"] = jnp.where(advance, anz, s["nz"])
-        out["adv"] = s["adv"] + advance.astype(jnp.int32)
-        exhausted = advance & (out["adv"] >= max_advances)
-        out["hit"] = s["hit"] | hit_now.astype(jnp.int32)
-        out["active"] = (live & ~hit_now & ~exhausted).astype(jnp.int32)
-        out["mask_lo"] = mask_lo
-        out["mask_hi"] = mask_hi
-        out["mask_cell"] = mask_cell
+        out["t"] = jnp.where(miss, BIG, jnp.where(march, nat, t1))
+        out["px"] = jnp.where(march, napx, px1)
+        out["py"] = jnp.where(march, napy, py1)
+        out["pz"] = jnp.where(march, napz, pz1)
+        if not any_hit:
+            out["nx"] = jnp.where(march, anx, nx1)
+            out["ny"] = jnp.where(march, any_, ny1)
+            out["nz"] = jnp.where(march, anz, nz1)
+        out["adv"] = s["adv"] + march.astype(jnp.int32) + steps1
+        out["n_live"] = (key0 != BIGI).astype(jnp.int32)
+        out["n_fetch"] = s["n_fetch"] + do_fetch.astype(jnp.int32)
+        out["n_grp"] = s["n_grp"] + ngrp1
+        out["hit"] = s["hit"] | hit1
+        exhausted = live & (out["adv"] >= max_advances)
+        out["active"] = (live & (hit1 == 0) & ~exhausted).astype(jnp.int32)
         out["total"] = s["total"] + 1
         return out
 
     s = jax.lax.while_loop(cond, body, state)
 
-    # normal flip toward the ray (raytracer.py:151-153)
-    ndot = dx * s["nx"] + dy * s["ny"] + dz * s["nz"]
-    flip = ndot > 0.0
-    nx = jnp.where(flip, -s["nx"], s["nx"])
-    ny = jnp.where(flip, -s["ny"], s["ny"])
-    nz = jnp.where(flip, -s["nz"], s["nz"])
+    if any_hit:
+        nx = ny = nz = jnp.zeros(s["nx"].shape, jnp.float32)
+    else:
+        # normal flip toward the ray (raytracer.py:151-153)
+        ndot = dx * s["nx"] + dy * s["ny"] + dz * s["nz"]
+        flip = ndot > 0.0
+        nx = jnp.where(flip, -s["nx"], s["nx"])
+        ny = jnp.where(flip, -s["ny"], s["ny"])
+        nz = jnp.where(flip, -s["nz"], s["nz"])
 
     t_ref[0] = jnp.where(s["t"] >= BIG, jnp.float32(np.inf), s["t"])
     ix_ref[0] = jnp.where(alive0, s["px"], -1)
@@ -305,34 +382,45 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     nx_ref[0] = nx
     ny_ref[0] = ny
     nz_ref[0] = nz
-    it_ref[0] = s["adv"]
+    if debug_totals:
+        it_ref[0] = jnp.broadcast_to(
+            s["total"] + (s["n_fetch"] << 10) + (s["n_grp"] << 20),
+            s["adv"].shape,
+        )
+    else:
+        it_ref[0] = s["adv"]
 
     # --- hit color fetch (skipped for shadow rays) --------------------------
     if fetch_colors:
         px, py, pz = s["px"], s["py"], s["pz"]
-        cell = ((pz >> 2) * r2 + (py >> 2)) * r2 + (px >> 2)
+        mcell = _morton3(px >> 2, py >> 2, pz >> 2)
         local = ((pz & 3) * 4 + (py & 3)) * 4 + (px & 3)
-        word_idx = cell * 64 + local
+        word_idx = mcell * 64 + local
         hit = s["hit"] != 0
-        grp = word_idx >> 13  # 8192 words (one (8,128)-slab group of 8) each
-        n_grps = colors_ref.shape[0] // 64
-        gmin = jnp.min(jnp.where(hit, grp, n_grps - 1))
-        gmax = jnp.max(jnp.where(hit, grp, 0))
-        col = jnp.zeros(px.shape, jnp.int32)
+        slab_id = word_idx >> 10  # one (8,128) slab = 16 cells' colors
+        BIGI = jnp.int32(0x7FFFFFFF)
 
-        def cgroup(g, col):
-            wanted = hit & (grp == g)
-            for k in range(8):  # 8 slabs of 1024 words per group
-                slab_ = colors_ref[pl.ds(g * 64 + k * 8, 8), :]
-                sub_wanted = wanted & (((word_idx >> 10) & 7) == k)
-                gv = _gather_1024(slab_, word_idx & 1023)
-                col = jnp.where(sub_wanted, gv, col)
-            return col
+        # Iterate DISTINCT color slabs via a min-reduce loop (hit cells are
+        # tile-local + morton-ordered, so this is a handful of slabs); the
+        # min doubles as the done test (BIGI ⇒ no lanes remain) so each slab
+        # costs ONE vector reduction.
+        def ccond(c):
+            return c[1] != BIGI
 
-        col = jax.lax.cond(
-            jnp.any(hit),
-            lambda: jax.lax.fori_loop(gmin, gmax + 1, cgroup, col),
-            lambda: col,
+        def cbody(c):
+            col, sid, remaining = c
+            wanted = (remaining != 0) & (slab_id == sid)
+            gv = _gather_1024(colors_ref[pl.ds(sid * 8, 8), :],
+                              word_idx & 1023)
+            col = jnp.where(wanted, gv, col)
+            remaining = remaining & ~wanted.astype(jnp.int32)
+            nsid = jnp.min(jnp.where(remaining != 0, slab_id, BIGI))
+            return col, nsid, remaining
+
+        sid0 = jnp.min(jnp.where(hit, slab_id, BIGI))
+        col, _, _ = jax.lax.while_loop(
+            ccond, cbody,
+            (jnp.zeros(px.shape, jnp.int32), sid0, hit.astype(jnp.int32)),
         )
         col_ref[0] = col
     else:
@@ -349,15 +437,19 @@ class PallasTraceResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_res", "max_advances", "fetch_colors", "interpret"),
+    static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
+                     "interpret", "fetch_cadence", "debug_totals"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
-                    fetch_colors: bool = True,
-                    interpret: bool = False) -> PallasTraceResult:
+                    fetch_colors: bool = True, any_hit: bool = False,
+                    interpret: bool = False, fetch_cadence: int = 2,
+                    debug_totals: bool = False) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
     origin/direction: (N, 3) f32; N is padded to a multiple of 1024.
+    ``any_hit=True`` (shadow rays) skips normal tracking and color fetch;
+    only hit/miss (finite vs inf distance) is meaningful in the result.
     """
     n = origin.shape[0]
     pad = (-n) % BLOCK_RAYS
@@ -387,9 +479,17 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         return pl.BlockSpec((rows, LANES), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
 
+    r2 = grid_res // 4
+    r3 = grid_res // 8
+    n_lod2_words = (r2 * r2 * r2 + 31) // 32
+    n_dist3_words = (r3 * r3 * r3 + 7) // 8
+    # mask-group bitmap is a single i32 (kernel fetch loop)
+    assert max(r2 * r2 * r2, 1024) // 1024 <= 32, grid_res
+
     lod2 = tables.lod2_words.reshape(-1, LANES).astype(jnp.int32)
-    lod3 = tables.lod3_words.reshape(-1, LANES).astype(jnp.int32)
-    masks = tables.cell_masks.reshape(-1, LANES).astype(jnp.int32)
+    dist3 = tables.dist3_words.reshape(-1, LANES).astype(jnp.int32)
+    masks_lo = tables.cell_masks_lo.reshape(-1, LANES).astype(jnp.int32)
+    masks_hi = tables.cell_masks_hi.reshape(-1, LANES).astype(jnp.int32)
     colors = tables.cell_colors.reshape(-1, LANES).astype(jnp.int32)
 
     out_shapes = [jax.ShapeDtypeStruct((nb, SUBLANES, LANES), dt)
@@ -399,15 +499,18 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
 
     kernel = functools.partial(
         _traverse_kernel, grid_res=grid_res, max_advances=max_advances,
-        fetch_colors=fetch_colors,
+        fetch_colors=fetch_colors, any_hit=any_hit,
+        n_lod2_words=n_lod2_words, n_dist3_words=n_dist3_words,
+        fetch_cadence=fetch_cadence, debug_totals=debug_totals,
     )
 
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[ray_spec] * 8 + [
-            table_spec(lod2.shape[0]), table_spec(lod3.shape[0]),
-            table_spec(masks.shape[0]), table_spec(colors.shape[0]),
+            table_spec(lod2.shape[0]), table_spec(dist3.shape[0]),
+            table_spec(masks_lo.shape[0]), table_spec(masks_hi.shape[0]),
+            table_spec(colors.shape[0]),
         ],
         out_specs=[ray_spec] * 9,
         out_shape=out_shapes,
@@ -415,7 +518,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(*ins, lod2, lod3, masks, colors)
+    )(*ins, lod2, dist3, masks_lo, masks_hi, colors)
 
     t, ix, iy, iz, nx, ny, nz, it, col = [x.reshape(npad)[:n] for x in outs]
     return PallasTraceResult(

@@ -141,10 +141,70 @@ class Hit(NamedTuple):
     iters: jax.Array  # (N,) i32 traversal advance count
 
 
-def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool) -> Hit:
+def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
+                         shadow_ray: bool):
+    """Route rays through the Pallas kernel in (alive, origin-cell-morton,
+    direction-octant) order, then restore ray order.
+
+    Bounce/shadow wavefronts are pixel-ordered but spatially scattered; the
+    kernel's lock-step (8,128) blocks then pay worst-ray iteration counts and
+    wide mask-fetch working sets. Sorting makes dead lanes vanish (their
+    blocks exit after one iteration) and live blocks spatially tight. Two
+    multi-payload lax.sorts cost ~4 ms/Mray (tools/sort_bench.py).
+    """
+    from voxelrt.ops.dda_pallas import _morton3, raytrace_pallas
+
+    n = origin.shape[0]
+    r2 = cfg.grid_res // 4
+    cx = jnp.clip(origin[:, 0].astype(jnp.int32) >> 2, 0, r2 - 1)
+    cy = jnp.clip(origin[:, 1].astype(jnp.int32) >> 2, 0, r2 - 1)
+    cz = jnp.clip(origin[:, 2].astype(jnp.int32) >> 2, 0, r2 - 1)
+    octant = (
+        (d[:, 0] > 0).astype(jnp.int32)
+        + 2 * (d[:, 1] > 0).astype(jnp.int32)
+        + 4 * (d[:, 2] > 0).astype(jnp.int32)
+    )
+    key = (_morton3(cx, cy, cz) << 3) | octant
+    key = jnp.where(mask, key, jnp.int32(0x7FFFFFFF))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, sidx, o0, o1, o2, d0, d1, d2, stmax = jax.lax.sort(
+        [key, idx, origin[:, 0], origin[:, 1], origin[:, 2],
+         d[:, 0], d[:, 1], d[:, 2], tmax],
+        num_keys=1,
+    )
+    tr = raytrace_pallas(
+        tables, jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1),
+        tmin, stmax, cfg.grid_res, cfg.max_dda_advances,
+        fetch_colors=not shadow_ray, any_hit=shadow_ray,
+        interpret=cfg.pallas_interpret,
+    )
+    if shadow_ray:
+        _, dist = jax.lax.sort([sidx, tr.distance], num_keys=1)
+        return tr._replace(distance=dist)
+    outs = jax.lax.sort(
+        [sidx, tr.distance,
+         tr.ipos[:, 0], tr.ipos[:, 1], tr.ipos[:, 2],
+         tr.normal[:, 0], tr.normal[:, 1], tr.normal[:, 2],
+         tr.iters, tr.color_word.astype(jnp.int32)],
+        num_keys=1,
+    )
+    _, dist, i0, i1, i2, n0, n1, n2, iters, col = outs
+    return tr._replace(
+        distance=dist,
+        ipos=jnp.stack([i0, i1, i2], -1),
+        normal=jnp.stack([n0, n1, n2], -1),
+        iters=iters,
+        color_word=col.astype(jnp.uint32),
+    )
+
+
+def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
+             coherent: bool = False) -> Hit:
     """Closest hit of floor plane + voxel grid (renderer/pathtracer.py:218-244).
 
     mask: rays to trace; others are skipped inside the traversal loop.
+    ``coherent`` marks ray sets already in tight screen-tile order (primary
+    rays), which skip the sorted-routing path.
     """
     n = pos.shape[0]
     closest = jnp.full((n,), jnp.float32(INF))
@@ -177,13 +237,18 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool) -> Hit:
     tmax = jnp.where(mask, jnp.float32(INF), 0.0)
     color_word = None
     if cfg.use_pallas_dda:
-        from voxelrt.ops.dda_pallas import raytrace_pallas
+        if cfg.sort_rays and not coherent:
+            tr = _trace_voxels_sorted(
+                cfg, scene.tables, eye_scaled, d, EPS, tmax, mask, shadow_ray
+            )
+        else:
+            from voxelrt.ops.dda_pallas import raytrace_pallas
 
-        tr = raytrace_pallas(
-            scene.tables, eye_scaled, d, EPS, tmax, cfg.grid_res,
-            cfg.max_dda_advances, fetch_colors=not shadow_ray,
-            interpret=cfg.pallas_interpret,
-        )
+            tr = raytrace_pallas(
+                scene.tables, eye_scaled, d, EPS, tmax, cfg.grid_res,
+                cfg.max_dda_advances, fetch_colors=not shadow_ray,
+                any_hit=shadow_ray, interpret=cfg.pallas_interpret,
+            )
         color_word = tr.color_word
     else:
         pyr = OccupancyPyramid(scene.occ_words, cfg.grid_res, cfg.n_lods)
@@ -221,17 +286,32 @@ def get_cast_dir(cfg, params, u, v, camera_is_moving: bool, render_scale: float)
     return normalize(d)
 
 
-def sample_sky(cfg, scene, params, d, u3):
+def sample_sky(cfg, scene, params, d, u3, scattered=False):
     """Sky radiance for escaped rays: constant background or precomputed
     skybox (renderer/pathtracer.py:499-517)."""
     if cfg.use_physical_sky:
         from voxelrt.sky.atmos import sample_skybox
 
-        return sample_skybox(cfg, scene.sky, d, u3)
+        return sample_skybox(cfg, scene.sky, d, u3, scattered=scattered)
     n = d.shape[0]
     scatt = jnp.broadcast_to(params.background_color, (n, 3))
     trans = jnp.ones((n, 3), jnp.float32)
     return scatt, trans
+
+
+def _sky_emission(cfg, params, d, scatt, trans):
+    """Escape radiance: in-scatter + sun disk through the transmittance
+    (renderer/pathtracer.py:499-517)."""
+    n = d.shape[0]
+    hit_sun = (
+        dot(jnp.broadcast_to(params.light_direction, (n, 3)), d)
+        >= params.light_cone_cos_theta_max
+    ).astype(jnp.float32)
+    return firefly_filter(
+        scatt
+        + trans * cfg.light_weight * params.light_color * hit_sun[..., None],
+        cfg,
+    )
 
 
 def sky_transmittance(cfg, scene, d):
@@ -276,6 +356,14 @@ def trace_sample(cfg, scene, params, key, u, v,
     first_bounce_reflection_dist = jnp.zeros((n,), jnp.float32)
     is_sky_ray = jnp.zeros((n,), jnp.bool_)
 
+    # Deferred escape-sky state (one skybox evaluation per sample; the
+    # ReSTIR path needs per-depth sky values for its rc bookkeeping and
+    # keeps the inline evaluation).
+    defer_sky = not cfg.use_restir_pt
+    esc_dir = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    esc_u3 = jnp.zeros((n, 3), jnp.float32)
+    esc_weight = f3()
+
     tracing = inside  # rays still walking the bounce loop
 
     # ReSTIR-PT input-sample state (renderer/pathtracer.py:336-347, 381-391);
@@ -295,7 +383,8 @@ def trace_sample(cfg, scene, params, key, u, v,
         u_bsdf = jax.random.uniform(jax.random.fold_in(kd, 1), (n, 3))
         u_sky = jax.random.uniform(jax.random.fold_in(kd, 2), (n, 3))
 
-        hit = next_hit(cfg, scene, params, pos, d, tracing, shadow_ray=False)
+        hit = next_hit(cfg, scene, params, pos, d, tracing, shadow_ray=False,
+                       coherent=depth == 0)
         hit_mat = fetch_material(scene.mat_params, hit.mat_id, hit.albedo)
         finite_closest = jnp.isfinite(hit.closest)
         hit_pos = pos + jnp.where(finite_closest, hit.closest, 0.0)[..., None] * d
@@ -343,22 +432,21 @@ def trace_sample(cfg, scene, params, key, u, v,
         term_light = tracing & hit.hit_light & finite_closest
 
         # --- miss → sky (renderer/pathtracer.py:499-517)
-        hit_sun = (
-            dot(jnp.broadcast_to(params.light_direction, (n, 3)), d)
-            >= params.light_cone_cos_theta_max
-        ).astype(jnp.float32)
-        sky_scatt, sky_trans = sample_sky(cfg, scene, params, d, u_sky)
-        sky_emission = firefly_filter(
-            sky_scatt
-            + sky_trans
-            * cfg.light_weight
-            * params.light_color
-            * hit_sun[..., None],
-            cfg,
-        )
-        contrib = contrib + jnp.where(
-            term_sky[..., None], throughput * sky_emission, 0.0
-        )
+        if defer_sky:
+            # A ray escapes at most once, so the (expensive) skybox fetch is
+            # DEFERRED: record the escape direction/weight here and evaluate
+            # the sky exactly once after the bounce loop — 1 skybox fetch per
+            # sample instead of max_ray_depth of them.
+            t3 = term_sky[..., None]
+            esc_dir = jnp.where(t3, d, esc_dir)
+            esc_u3 = jnp.where(t3, u_sky, esc_u3)
+            esc_weight = jnp.where(t3, throughput, esc_weight)
+        else:
+            sky_scatt, sky_trans = sample_sky(cfg, scene, params, d, u_sky)
+            sky_emission = _sky_emission(cfg, params, d, sky_scatt, sky_trans)
+            contrib = contrib + jnp.where(
+                term_sky[..., None], throughput * sky_emission, 0.0
+            )
         if depth == 0:
             is_sky_ray = term_sky
             primary_pos = jnp.where(term_sky[..., None], 0.0, primary_pos)
@@ -497,6 +585,17 @@ def trace_sample(cfg, scene, params, key, u, v,
                                throughput)
         d = jnp.where(surf[..., None], new_d, d)
         pos = jnp.where(surf[..., None], spos, pos)
+
+    # --- deferred escape sky (single fetch for the whole bounce loop) -------
+    if defer_sky:
+        esc_any = jnp.any(esc_weight != 0.0, axis=-1)
+        sky_scatt, sky_trans = sample_sky(
+            cfg, scene, params, esc_dir, esc_u3, scattered=True
+        )
+        sky_emission = _sky_emission(cfg, params, esc_dir, sky_scatt, sky_trans)
+        contrib = contrib + jnp.where(
+            esc_any[..., None], esc_weight * sky_emission, 0.0
+        )
 
     # --- epilogue (renderer/pathtracer.py:535-632) ---------------------------
     primary_pos_view = world_to_view(primary_pos, params.view)

@@ -99,6 +99,10 @@ class SkyData(NamedTuple):
     skybox_transmittance: jax.Array  # (S, S, 3) f32
     cloud_ambient: jax.Array  # (3,)
     trans_lut: jax.Array  # (256, 128, 3) kept for parity/tests
+    # bf16-packed copies for the Pallas texture-fetch kernel (ops/texfetch);
+    # None on the portable path.
+    packed_scatt: jax.Array | None = None
+    packed_trans: jax.Array | None = None
 
 
 # --- geometry helpers -------------------------------------------------------
@@ -604,24 +608,67 @@ def _bilinear_wrap(img, fx, fy, res):
     return mix(mix(bl, br, gx[..., None]), mix(tl, tr, gx[..., None]), gy[..., None])
 
 
-def sample_skybox(cfg, sky: SkyData, d, u3):
-    """renderer/atmos.py:94-115 — jittered bilinear skybox fetch."""
+def _use_texfetch(cfg, sky):
+    return cfg.use_pallas_dda and sky.packed_scatt is not None
+
+
+def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False):
+    """renderer/atmos.py:94-115 — jittered bilinear skybox fetch.
+
+    On the TPU path both maps are fetched by the Pallas kernel;
+    ``scattered=True`` marks direction sets with no block-level coherence
+    (deferred bounce-ray escapes), which get one shared texel-sort route.
+    """
     res = cfg.skybox_res
     jittered = normalize(d + (u3 - 0.0) * 0.0015)
     uv = project_sky(jittered, res)
     fx = uv[..., 0] * res - 0.5
     fy = uv[..., 1] * res - 0.5
+    if _use_texfetch(cfg, sky):
+        from voxelrt.ops.texfetch import bilinear_fetch_packed
+
+        if scattered:
+            n = fx.shape[0]
+            ix = jnp.clip(jnp.floor(fx), 0.0, float(res - 1))
+            key = jnp.where(
+                jnp.isfinite(fx) & jnp.isfinite(fy),
+                ix.astype(jnp.int32) * res
+                + jnp.clip(jnp.floor(fy), 0.0, float(res - 1)).astype(jnp.int32),
+                jnp.int32(0x7FFFFFFF),
+            )
+            idx = jnp.arange(n, dtype=jnp.int32)
+            _, sidx, sfx, sfy = jax.lax.sort([key, idx, fx, fy], num_keys=1)
+            s = bilinear_fetch_packed(sky.packed_scatt, sfx, sfy, res,
+                                      interpret=cfg.pallas_interpret)
+            t = bilinear_fetch_packed(sky.packed_trans, sfx, sfy, res,
+                                      interpret=cfg.pallas_interpret)
+            _, s0, s1, s2, t0, t1, t2 = jax.lax.sort(
+                [sidx, s[:, 0], s[:, 1], s[:, 2], t[:, 0], t[:, 1], t[:, 2]],
+                num_keys=1,
+            )
+            return (jnp.stack([s0, s1, s2], -1), jnp.stack([t0, t1, t2], -1))
+        scatt = bilinear_fetch_packed(sky.packed_scatt, fx, fy, res,
+                                      interpret=cfg.pallas_interpret)
+        trans = bilinear_fetch_packed(sky.packed_trans, fx, fy, res,
+                                      interpret=cfg.pallas_interpret)
+        return scatt, trans
     scatt = _bilinear_wrap(sky.skybox_scattering, fx, fy, res)
     trans = _bilinear_wrap(sky.skybox_transmittance, fx, fy, res)
     return scatt, trans
 
 
 def sample_skybox_transmittance(cfg, sky: SkyData, d):
-    """renderer/atmos.py:117-131."""
+    """renderer/atmos.py:117-131. NEE sun-cone directions are nearly
+    identical across a block, so the Pallas fetch needs no sort route."""
     res = cfg.skybox_res
     uv = project_sky(d, res)
     fx = uv[..., 0] * res - 0.5
     fy = uv[..., 1] * res - 0.5
+    if _use_texfetch(cfg, sky):
+        from voxelrt.ops.texfetch import bilinear_fetch_packed
+
+        return bilinear_fetch_packed(sky.packed_trans, fx, fy, res,
+                                     interpret=cfg.pallas_interpret)
     return _bilinear_wrap(sky.skybox_transmittance, fx, fy, res)
 
 
@@ -657,14 +704,28 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
                 cache_dir=".skycache", seed=1234) -> SkyData:
     """Stages A+B+C (renderer/pathtracer.py:314-323, scene.py:199-253) in one
     deterministic, disk-cached precompute."""
+    def _packed(sky: SkyData) -> SkyData:
+        if not cfg.use_pallas_dda:
+            return sky
+        from voxelrt.ops.texfetch import pack_rgb_bf16
+
+        return sky._replace(
+            packed_scatt=jnp.asarray(
+                pack_rgb_bf16(np.asarray(sky.skybox_scattering))
+            ),
+            packed_trans=jnp.asarray(
+                pack_rgb_bf16(np.asarray(sky.skybox_transmittance))
+            ),
+        )
+
     key_str = _cache_key(cfg, sun_dir, sun_col, cos_max)
     cache_path = os.path.join(cache_dir, f"sky_{key_str}.npz")
     if os.path.exists(cache_path):
         z = np.load(cache_path)
-        return SkyData(
+        return _packed(SkyData(
             jnp.asarray(z["scatt"]), jnp.asarray(z["trans"]),
             jnp.asarray(z["ambient"]), jnp.asarray(z["lut"]),
-        )
+        ))
 
     res = cfg.skybox_res
     key = jax.random.PRNGKey(seed)
@@ -765,4 +826,4 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
         ambient=np.asarray(jax.device_get(cloud_ambient)),
         lut=np.asarray(jax.device_get(lut)),
     )
-    return sky
+    return _packed(sky)
