@@ -69,19 +69,20 @@ def main():
 
     t_setup0 = time.perf_counter()
     scene = build_scene(args.scene, (w, h))
-    if args.cfg:
-        import ast
+    import ast
 
-        over = {}
-        for kv in args.cfg:
-            k, v = kv.split("=", 1)
-            try:
-                over[k] = ast.literal_eval(v)
-            except ValueError:
-                over[k] = v
-        scene.config = scene.config.__class__(
-            **{**scene.config.__dict__, **over}
-        )
+    # Benchmark default: batch 8 samples per temporal frame (headless
+    # progressive rendering; interactive sessions keep 1 for latency).
+    over = {"samples_per_launch": 8}
+    for kv in args.cfg:
+        k, v = kv.split("=", 1)
+        try:
+            over[k] = ast.literal_eval(v)
+        except ValueError:
+            over[k] = v
+    scene.config = scene.config.__class__(
+        **{**scene.config.__dict__, **over}
+    )
     r = scene.renderer
     r.prepare_data()
     setup_s = time.perf_counter() - t_setup0

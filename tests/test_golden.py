@@ -64,6 +64,9 @@ def test_golden(name):
 
 if __name__ == "__main__":
     if "--regen" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # goldens are CPU renders
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         from voxelrt.utils.image import write_png
 

@@ -41,6 +41,12 @@ class HeadlessRenderer:
 
         if not cfg.use_pallas_dda and jax.default_backend() not in ("cpu", "gpu"):
             cfg = dataclasses.replace(cfg, use_pallas_dda=True)
+        # voxel_edges is consumed as a traced param (RenderParams) so scenes
+        # that differ only in edge width share one accumulate compilation;
+        # normalize it out of the static config used for jit keys.
+        self._voxel_edges = float(cfg.voxel_edges)
+        self._exposure = float(cfg.exposure)
+        cfg = dataclasses.replace(cfg, voxel_edges=0.0, exposure=0.0)
         self.cfg = cfg
         self.scene = scene
         self.quiet = quiet
@@ -120,6 +126,7 @@ class HeadlessRenderer:
             max_accum_frames=jnp.float32(max_accum_frames),
             taa_jitter=jnp.asarray(jitter, jnp.float32),
             frame_idx=jnp.int32(self._frame),
+            voxel_edges=jnp.float32(self._voxel_edges),
         )
         self._copy_prev = (proj, view, np.asarray(sc.camera.position, np.float32))
         return p
@@ -161,7 +168,7 @@ class HeadlessRenderer:
 
     def fetch_image(self, render_scale=1.0):
         img = pipeline.fetch_image(
-            self.cfg, self.state, jnp.float32(self.cfg.exposure), render_scale
+            self.cfg, self.state, jnp.float32(self._exposure), render_scale
         )
         return np.asarray(jax.device_get(img))
 

@@ -75,4 +75,5 @@ def make_params(cfg: RenderConfig, camera_pos=(0.4, 0.5, 2.0),
         max_accum_frames=jnp.float32(1e9),
         taa_jitter=jnp.zeros(2, jnp.float32),
         frame_idx=jnp.int32(0),
+        voxel_edges=jnp.float32(cfg.voxel_edges),
     )

@@ -97,6 +97,8 @@ class RenderParams(NamedTuple):
     max_accum_frames: jax.Array  # ()
     taa_jitter: jax.Array  # (2,)
     frame_idx: jax.Array  # () i32
+    voxel_edges: jax.Array = 0.06  # () f32 — traced so scenes that differ
+    # only in edge width (Scene(voxel_edges=...)) share one compilation
 
 
 def firefly_filter(v, cfg):
@@ -104,7 +106,8 @@ def firefly_filter(v, cfg):
     return jnp.clip(v, 0.0, cfg.radiance_clamp)
 
 
-def fetch_voxel_surface(cfg, scene, ipos, uv, color_word=None):
+def fetch_voxel_surface(cfg, scene, ipos, uv, color_word=None,
+                        voxel_edges=None):
     """Voxel surface color + edge darkening (renderer/voxel_world.py:34-56).
 
     ipos: (N, 3) grid-space cell index in [0, res); uv: (N, 3) in-cell frac.
@@ -123,7 +126,7 @@ def fetch_voxel_surface(cfg, scene, ipos, uv, color_word=None):
         .astype(jnp.float32)
         / 255.0
     )
-    boundary = cfg.voxel_edges
+    boundary = cfg.voxel_edges if voxel_edges is None else voxel_edges
     near_edge = (uv < boundary) | (uv > 1.0 - boundary)
     count = jnp.sum(near_edge.astype(jnp.int32), axis=-1)
     f = (count >= 2).astype(jnp.float32)
@@ -263,7 +266,8 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
             1.0,
         )
         color, v_is_light, v_mat = fetch_voxel_surface(
-            cfg, scene, tr.ipos, uv, color_word=color_word
+            cfg, scene, tr.ipos, uv, color_word=color_word,
+            voxel_edges=params.voxel_edges,
         )
         normal = jnp.where(vox_ok[..., None], tr.normal, normal)
         albedo = jnp.where(vox_ok[..., None], color, albedo)
@@ -273,14 +277,24 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
     return Hit(closest, normal, albedo, hit_light, mat_id, tr.iters)
 
 
-def get_cast_dir(cfg, params, u, v, camera_is_moving: bool, render_scale: float):
-    """Primary ray directions (renderer/pathtracer.py:293-312)."""
+def get_cast_dir(cfg, params, key, u, v, camera_is_moving: bool,
+                 render_scale: float):
+    """Primary ray directions (renderer/pathtracer.py:293-312).
+
+    The TAA jitter is drawn per SAMPLE from the sample key (the reference
+    draws it per frame in set_proj_mat, renderer/pathtracer.py:263-265; one
+    progressive sample here == one frame there), so a static-camera
+    accumulation anti-aliases exactly like the reference's frame loop.
+    """
     inv_res = jnp.asarray(
         [1.0 / cfg.image_res[0], 1.0 / cfg.image_res[1]], jnp.float32
     )
     texcoord = (jnp.stack([u, v], axis=-1) + 0.5) * inv_res / render_scale
     if not camera_is_moving:
-        texcoord = texcoord + params.taa_jitter * 0.5
+        jitter = (
+            jax.random.uniform(jax.random.fold_in(key, 417), (2,)) * 2.0 - 1.0
+        ) * inv_res
+        texcoord = texcoord + jitter * 0.5
     d = normalize(screen_to_view(texcoord, 1.0, params.proj_inv))
     d = view_to_world(d, params.view_inv, 0.0)
     return normalize(d)
@@ -331,7 +345,7 @@ def trace_sample(cfg, scene, params, key, u, v,
     n = u.shape[0]
     f3 = lambda: jnp.zeros((n, 3), jnp.float32)
 
-    d = get_cast_dir(cfg, params, u, v, camera_is_moving, render_scale)
+    d = get_cast_dir(cfg, params, key, u, v, camera_is_moving, render_scale)
     pos = jnp.broadcast_to(params.camera_pos, (n, 3))
 
     # is_outside_render_area (renderer/pathtracer.py:289-291).

@@ -129,14 +129,35 @@ def _untile(cfg, x):
 def accumulate(cfg, scene: SceneData, params: RenderParams,
                state: RenderState, key, camera_is_moving: bool,
                render_scale: float) -> RenderState:
-    """One progressive sample for every pixel (renderer/pathtracer.py:1310-1319).
+    """One progressive frame for every pixel (renderer/pathtracer.py:1310-1319).
+
+    Traces ``cfg.samples_per_launch`` fresh path samples (the reference
+    traces exactly one per frame), averages them, and advances the temporal
+    accumulation by that weight — amortizing the G-buffer/temporal/XLA-glue
+    cost across samples without changing the converged image.
 
     Static args: cfg, camera_is_moving, render_scale.
     """
     w, h = cfg.image_res
     u, v = _pixel_grid(cfg)
+    k_samples = max(1, cfg.samples_per_launch)
+    if cfg.use_restir_pt:
+        # The GRIS pass consumes one reservoir per sample.
+        assert k_samples == 1, "samples_per_launch must be 1 with ReSTIR-PT"
     out = trace_sample(cfg, scene, params, key, u, v,
                        camera_is_moving, render_scale)
+    if k_samples > 1:
+        def extra(i, acc):
+            d, s = acc
+            o = trace_sample(cfg, scene, params,
+                             jax.random.fold_in(key, 7000 + i),
+                             u, v, camera_is_moving, render_scale)
+            return d + o["diffuse"], s + o["specular"]
+
+        dsum, ssum = jax.lax.fori_loop(
+            1, k_samples, extra, (out["diffuse"], out["specular"])
+        )
+        out = dict(out, diffuse=dsum / k_samples, specular=ssum / k_samples)
 
     def img(x, ch=None):
         del ch
@@ -180,11 +201,12 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
 
     color, history = temporal.temporal_filter(
         cfg, params, color, state.history, gbuffer, render_scale,
-        camera_is_moving,
+        camera_is_moving, sample_weight=float(k_samples),
     )
     color, history_spec, history_spec_depth = temporal.temporal_filter_specular(
         cfg, params, color, color_spec, state.history_spec,
         state.history_spec_depth, gbuffer, render_scale, camera_is_moving,
+        sample_weight=float(k_samples),
     )
 
     return RenderState(
@@ -201,7 +223,7 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
         gbuff_prev_depth=gbuffer["depth"],
         gbuff_prev_normals=gbuffer["normals"],
         reservoirs=reservoirs,
-        spp=state.spp + 1,
+        spp=state.spp + k_samples,
         frame=state.frame + 1,
     )
 
@@ -213,14 +235,17 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
 )
 def accumulate_n(cfg, scene, params, state, key, camera_is_moving,
                  render_scale, n_samples: int):
-    """Run ``n_samples`` accumulate steps inside one jitted call — amortizes
-    the per-dispatch overhead (34 ms on the tunneled TPU, PERF_NOTES.md)."""
+    """Accumulate ``n_samples`` path samples inside one jitted call —
+    amortizes the per-dispatch overhead (34 ms on the tunneled TPU,
+    PERF_NOTES.md). Runs ceil(n_samples / samples_per_launch) frames."""
+    k = max(1, cfg.samples_per_launch)
+    n_frames = -(-n_samples // k)
 
     def step(i, st):
         return accumulate(cfg, scene, params, st, jax.random.fold_in(key, i),
                           camera_is_moving, render_scale)
 
-    return jax.lax.fori_loop(0, n_samples, step, state)
+    return jax.lax.fori_loop(0, n_frames, step, state)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "render_scale"))

@@ -205,9 +205,12 @@ def _pixel_texcoords(cfg, render_scale):
 
 
 def temporal_filter(cfg, params, state_color, history, gbuffer,
-                    render_scale, moving):
+                    render_scale, moving, sample_weight: float = 1.0):
     """Diffuse temporal filter (renderer/pathtracer.py:1185-1230).
-    Returns (new_color, new_history)."""
+    Returns (new_color, new_history). ``sample_weight`` is the number of
+    fresh path samples averaged into ``state_color`` this frame (>1 when the
+    renderer batches samples per temporal step); the history weight advances
+    by it so the accumulation stays an exact running mean."""
     w, h = cfg.image_res
     texcoord = _pixel_texcoords(cfg, render_scale)
     center_nonlin = gbuffer["depth"]
@@ -234,12 +237,15 @@ def temporal_filter(cfg, params, state_color, history, gbuffer,
         hist = history
 
     has_hist = w_sum > 1e-3
-    new_w = jnp.minimum(hist[..., 3] + 1.0, params.max_accum_frames)
-    blended = mix(hist[..., 0:3], current[..., 0:3], (1.0 / new_w)[..., None])
+    new_w = jnp.minimum(hist[..., 3] + sample_weight, params.max_accum_frames)
+    blended = mix(hist[..., 0:3], current[..., 0:3],
+                  (sample_weight / new_w)[..., None])
     hist_out = jnp.where(
         has_hist[..., None],
         jnp.concatenate([blended, new_w[..., None]], axis=-1),
-        jnp.concatenate([current[..., 0:3], jnp.ones((w, h, 1))], axis=-1),
+        jnp.concatenate(
+            [current[..., 0:3], jnp.full((w, h, 1), sample_weight)], axis=-1
+        ),
     )
 
     out_color = hist_out[..., 0:3]
@@ -255,7 +261,8 @@ def temporal_filter(cfg, params, state_color, history, gbuffer,
 
 
 def temporal_filter_specular(cfg, params, color, color_spec, history_spec,
-                             history_spec_depth, gbuffer, render_scale, moving):
+                             history_spec_depth, gbuffer, render_scale, moving,
+                             sample_weight: float = 1.0):
     """Specular temporal filter (renderer/pathtracer.py:1242-1303).
     Returns (color_with_specular, new_history_spec, new_history_spec_depth)."""
     w, h = cfg.image_res
@@ -293,16 +300,19 @@ def temporal_filter_specular(cfg, params, color, color_spec, history_spec,
         hist_depth = history_spec_depth
 
     has_hist = w_sum > 1e-3
-    new_w = jnp.minimum(hist[..., 3] + 1.0, params.max_accum_frames)
-    blended = mix(hist[..., 0:3], current[..., 0:3], (1.0 / new_w)[..., None])
+    new_w = jnp.minimum(hist[..., 3] + sample_weight, params.max_accum_frames)
+    blended = mix(hist[..., 0:3], current[..., 0:3],
+                  (sample_weight / new_w)[..., None])
     hist_out = jnp.where(
         has_hist[..., None],
         jnp.concatenate([blended, new_w[..., None]], axis=-1),
-        jnp.concatenate([current[..., 0:3], jnp.ones((w, h, 1))], axis=-1),
+        jnp.concatenate(
+            [current[..., 0:3], jnp.full((w, h, 1), sample_weight)], axis=-1
+        ),
     )
     depth_out = jnp.where(
         has_hist,
-        mix(hist_depth, center_refl_depth, 1.0 / new_w),
+        mix(hist_depth, center_refl_depth, sample_weight / new_w),
         center_refl_depth,
     )
 
