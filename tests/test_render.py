@@ -157,3 +157,48 @@ def test_multichip_matches_single_device():
         # keys, so compare statistically
         assert np.isfinite(img4).all()
         assert abs(img4.mean() - img1.mean()) < 0.2 * max(img1.mean(), 1e-3)
+
+
+def test_multichip_dp_only_exact():
+    """A dp-only (sp=1) sharding re-partitions pixels WITHOUT changing any
+    sample keys, so both multi-chip paths must reproduce the single-device
+    image essentially exactly — a partitioning bug that shifts pixels or
+    double-counts rows fails here."""
+    from voxelrt.parallel import sharding
+    from voxelrt.render import pipeline
+
+    cfg = tiny_config(image_res=(64, 32))
+    scene = make_scene_data(cfg)
+    params = make_params(cfg)
+    key = jax.random.PRNGKey(11)
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        import pytest
+
+        pytest.skip("needs 8 host devices (tests/conftest.py sets the flag)")
+
+    mesh1 = sharding.make_mesh(devs[:1], dp=1, sp=1)
+    mesh8 = sharding.make_mesh(devs[:8], dp=8, sp=1)
+
+    # explicit shard_map path
+    img1 = np.asarray(jax.device_get(
+        sharding.parallel_render(cfg, scene, params, key, 4, mesh1)
+    ))
+    img8 = np.asarray(jax.device_get(
+        sharding.parallel_render(cfg, scene, params, key, 4, mesh8)
+    ))
+    np.testing.assert_allclose(img8, img1, rtol=2e-5, atol=2e-5)
+
+    # full GSPMD accumulate step (render + temporal pipeline)
+    s1 = pipeline.accumulate_n(
+        cfg, scene, params, pipeline.init_state(cfg), key, False, 1.0, 2
+    )
+    s8 = sharding.sharded_accumulate_n(
+        cfg, scene, params, pipeline.init_state(cfg), key, False, 1.0, 2,
+        mesh8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(s8.color)),
+        np.asarray(jax.device_get(s1.color)),
+        rtol=3e-5, atol=3e-5,
+    )

@@ -46,7 +46,7 @@ from voxelrt.ops.accel import PallasTables
 LANES = 128
 SUBLANES = 8
 BLOCK_RAYS = SUBLANES * LANES  # rays per grid step
-CELL_RESOLVE_STEPS = 10  # max voxel advances crossing a 4³ cell
+CELL_RESOLVE_STEPS = 9  # max voxel advances crossing a 4³ cell (3 per axis)
 
 
 def _gather_1024(table_slab, word_idx):

@@ -380,6 +380,16 @@ def trace_sample(cfg, scene, params, key, u, v,
 
     tracing = inside  # rays still walking the bounce loop
 
+    # Counter-based per-pixel RNG (SURVEY.md §7): every uniform is a pure
+    # function of (global pixel id, sample key, draw slot), so renders are
+    # bitwise independent of how pixels are sharded across chips — the
+    # dp-only multi-chip paths reproduce the single-device image exactly
+    # (shaped jax.random draws would depend on the local shard shape).
+    pid = u.astype(jnp.int32) * jnp.int32(cfg.image_res[1]) + v.astype(jnp.int32)
+    n_draws = 8 * cfg.max_ray_depth + 1
+    keys_px = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pid)
+    draws = jax.vmap(lambda k: jax.random.uniform(k, (n_draws,)))(keys_px)
+
     # ReSTIR-PT input-sample state (renderer/pathtracer.py:336-347, 381-391);
     # only materialized when the feature is compiled in.
     if cfg.use_restir_pt:
@@ -392,10 +402,10 @@ def trace_sample(cfg, scene, params, key, u, v,
         rc_bounce_lobe_id = jnp.zeros((n,), jnp.int32)
 
     for depth in range(cfg.max_ray_depth):
-        kd = jax.random.fold_in(key, depth)
-        u_nee = jax.random.uniform(jax.random.fold_in(kd, 0), (n, 2))
-        u_bsdf = jax.random.uniform(jax.random.fold_in(kd, 1), (n, 3))
-        u_sky = jax.random.uniform(jax.random.fold_in(kd, 2), (n, 3))
+        base = 8 * depth
+        u_nee = draws[:, base : base + 2]
+        u_bsdf = draws[:, base + 2 : base + 5]
+        u_sky = draws[:, base + 5 : base + 8]
 
         hit = next_hit(cfg, scene, params, pos, d, tracing, shadow_ray=False,
                        coherent=depth == 0)
@@ -678,7 +688,7 @@ def trace_sample(cfg, scene, params, key, u, v,
             )
             # WRS input of the NEE sample (renderer/pathtracer.py:588-598,
             # reservoir.py:65-74) — vectorized.
-            u_wrs = jax.random.uniform(jax.random.fold_in(key, 991), (n,))
+            u_wrs = draws[:, 8 * cfg.max_ray_depth]
             new_weight = res_weight + light_sample_weight
             sel = (light_sample_weight > 0.0) & (
                 u_wrs * new_weight <= light_sample_weight
