@@ -137,20 +137,45 @@ class HeadlessRenderer:
 
     # -- static-camera progressive render ------------------------------------
 
-    def render(self, spp=512, chunk=None, log_every=128):
+    def render(self, spp=512, chunk=None, log_every=128,
+               checkpoint_every=None, checkpoint_path=None, resume_from=None,
+               stats=None):
         """Accumulate ``spp`` samples with the camera fixed; returns the
         tonemapped (W, H, 3) float image.
 
         ``chunk`` samples run inside one dispatch; keep it modest — a single
         multi-minute device call can trip the TPU worker watchdog (the same
         failure mode the reference dodges by slicing its skybox work,
-        scene.py:203)."""
+        scene.py:203).
+
+        Checkpoint/resume (utils/checkpoint.py): ``checkpoint_path`` +
+        ``checkpoint_every`` save the full accumulation pytree + RNG key +
+        frame/spp counters after chunks; ``resume_from`` restores one and
+        continues toward ``spp`` total samples. A resumed render reproduces
+        the uninterrupted image exactly when both runs use the same ``chunk``
+        (sample keys are derived per chunk from (key, frame)).
+
+        ``stats``: optional :class:`voxelrt.utils.profiling.FrameStats`
+        receiving one row per dispatched chunk.
+        """
         chunk = chunk or max(1, min(spp, self.cfg.samples_per_launch * 8))
         params = self._params(max_accum_frames=999999999.0)
         done = 0
+        if resume_from is not None:
+            from voxelrt.utils.checkpoint import load_render_state
+
+            self.state, self.key, self._frame, extra = load_render_state(
+                resume_from, self.state
+            )
+            done = int(extra.get("done", self._frame))
+            if not self.quiet:
+                print(f"  resumed at {done}/{spp} spp from {resume_from}")
+        last_saved = done
+        n_pixels = self.cfg.image_res[0] * self.cfg.image_res[1]
         t0 = time.perf_counter()
         while done < spp:
             n = min(chunk, spp - done)
+            tc0 = time.perf_counter()
             self.state = pipeline.accumulate_n(
                 self.cfg, self.scene_data, params, self.state,
                 jax.random.fold_in(self.key, self._frame),
@@ -158,6 +183,23 @@ class HeadlessRenderer:
             )
             self._frame += n
             done += n
+            if stats is not None:
+                from voxelrt.utils.profiling import sync
+
+                sync(self.state.color)
+                wall_ms = (time.perf_counter() - tc0) * 1e3
+                # ≥2 traces (primary + NEE shadow) per bounce-capable sample
+                stats.record(self._frame, done, wall_ms,
+                             n_rays=n * n_pixels * 2 * self.cfg.max_ray_depth,
+                             quiet=self.quiet)
+            if checkpoint_path and checkpoint_every and done < spp and (
+                done - last_saved >= checkpoint_every
+            ):
+                from voxelrt.utils.checkpoint import save_render_state
+
+                save_render_state(checkpoint_path, self.state, self.key,
+                                  self._frame, extra={"done": done})
+                last_saved = done
             if not self.quiet and (done % log_every == 0 or done == spp):
                 from voxelrt.utils.profiling import sync
 
@@ -174,10 +216,13 @@ class HeadlessRenderer:
 
     # -- interactive-equivalent loop -----------------------------------------
 
-    def run_frames(self, frames, spp_per_frame=1, on_frame=None):
+    def run_frames(self, frames, spp_per_frame=1, on_frame=None, stats=None):
         """Scripted camera-path loop with the reference's motion policy
         (scene.py:206-256): while moving → render_scale 0.5, history cap 50;
-        transitions reset the framebuffer."""
+        transitions reset the framebuffer. ``stats``: optional
+        :class:`voxelrt.utils.profiling.FrameStats` receiving one row per
+        frame (the structured replacement for the reference's per-frame
+        prints, scene.py:257,274-278)."""
         camera_is_moving = False
         img = None
         last_t = time.perf_counter()
@@ -202,6 +247,7 @@ class HeadlessRenderer:
                 self.state = pipeline.reset_framebuffer(self.state)
 
             params = self._params(max_accum_frames=max_accum)
+            tf0 = time.perf_counter()
             self.state = pipeline.accumulate_n(
                 self.cfg, self.scene_data, params, self.state,
                 jax.random.fold_in(self.key, self._frame),
@@ -209,6 +255,18 @@ class HeadlessRenderer:
             )
             self._frame += spp_per_frame
             self.copy_prev_matrices()
+            if stats is not None:
+                from voxelrt.utils.profiling import sync
+
+                sync(self.state.color)
+                w, h = self.cfg.image_res
+                n_pix = int(w * render_scale) * int(h * render_scale)
+                stats.record(
+                    self._frame, spp_per_frame,
+                    (time.perf_counter() - tf0) * 1e3,
+                    n_rays=spp_per_frame * n_pix * 2 * self.cfg.max_ray_depth,
+                    quiet=self.quiet,
+                )
             if on_frame is not None:
                 img = self.fetch_image(render_scale)
                 on_frame(i, img)

@@ -71,7 +71,8 @@ class ViewerState:
         self.running = True
 
 
-def serve(scene, port=8000, host="127.0.0.1", spp_per_frame=1):
+def serve(scene, port=8000, host="127.0.0.1", spp_per_frame=1,
+          stats_csv=None):
     from voxelrt.utils.image import to_uint8_rows
     from voxelrt.utils.native import encode_png, frame_writer
 
@@ -145,7 +146,10 @@ def serve(scene, port=8000, host="127.0.0.1", spp_per_frame=1):
                        ms=vs.stat.get("ms", 0.0), moving=False)
 
     try:
+        from voxelrt.utils.profiling import FrameStats
+
         t_last = [time.perf_counter()]
+        stats = FrameStats(csv_path=stats_csv)
 
         def on_frame_timed(i, img):
             now = time.perf_counter()
@@ -153,8 +157,9 @@ def serve(scene, port=8000, host="127.0.0.1", spp_per_frame=1):
             t_last[0] = now
             on_frame(i, img)
 
+        r.quiet = True  # FrameStats rows go to the CSV, not the console
         r.run_frames(frames(), spp_per_frame=spp_per_frame,
-                     on_frame=on_frame_timed)
+                     on_frame=on_frame_timed, stats=stats)
     except KeyboardInterrupt:
         pass
     finally:

@@ -49,8 +49,9 @@ def save_render_state(path, state, key, frame: int, extra=None):
 
 
 def load_render_state(path, template):
-    """Restore (state, key, frame) using ``template`` (an init_state pytree)
-    for structure; shapes must match."""
+    """Restore (state, key, frame, extra) using ``template`` (an init_state
+    pytree) for structure; shapes must match. ``extra`` returns whatever dict
+    was passed to :func:`save_render_state` (e.g. the spp counter)."""
     import jax
     import jax.numpy as jnp
 
@@ -73,4 +74,5 @@ def load_render_state(path, template):
     state = rebuild(template, "state.")
     key = jnp.asarray(z["rng.key"])
     frame = int(z["meta.frame"])
-    return state, key, frame
+    extra = {k[len("extra."):]: z[k] for k in z.files if k.startswith("extra.")}
+    return state, key, frame, extra

@@ -24,9 +24,12 @@ class FrameStats:
         self.rows = []
         self.csv_path = csv_path
         self._csv = None
+        self._fh = None
         if csv_path:
-            self._csv = csv.writer(open(csv_path, "w", newline=""))
+            self._fh = open(csv_path, "w", newline="")
+            self._csv = csv.writer(self._fh)
             self._csv.writerow(["frame", "spp", "wall_ms", "mrays_per_s"])
+            self._fh.flush()
 
     def record(self, frame, spp, wall_ms, n_rays=None, quiet=False):
         mrays = (n_rays / wall_ms / 1e3) if (n_rays and wall_ms) else 0.0
@@ -35,6 +38,7 @@ class FrameStats:
         self.rows.append(row)
         if self._csv:
             self._csv.writerow([frame, spp, row["wall_ms"], row["mrays_per_s"]])
+            self._fh.flush()
         if not quiet:
             print(f"[frame {frame}] spp={spp} {wall_ms:.1f} ms "
                   f"({mrays:.1f} Mrays/s)", file=self.out)
