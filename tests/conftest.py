@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Narrow traversal-kernel blocks: in CPU interpret mode the production
+# 24-row blocks only pad the tests' tiny ray sets 3x (voxelrt/config.py).
+os.environ.setdefault("VOXELRT_DDA_BLOCK_ROWS", "8")
 
 import jax  # noqa: E402
 

@@ -48,7 +48,11 @@ def build_example(name):
     import bench
 
     scene = bench.build_scene(name, RES)
-    over = dict(TINY_SKY) if scene.config.use_physical_sky else {}
+    # NB: the Scene API keeps the sky toggle outside config until the
+    # renderer materializes (scene.set_use_physical_sky) — checking
+    # scene.config here would miss every sky scene and silently run the
+    # full-size sky precompute on CPU.
+    over = dict(TINY_SKY) if scene._use_physical_sky else {}
     if over:
         scene.config = scene.config.__class__(
             **{**scene.config.__dict__, **over}

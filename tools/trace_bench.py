@@ -57,7 +57,17 @@ def main():
                     help="load an examples/ scene (e.g. example6) instead of the synthetic one")
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--cadence", type=int, nargs="*", default=[2])
+    ap.add_argument("--rows", type=int, default=8,
+                    help="block_rows: sublane rows of rays per kernel block")
+    ap.add_argument("--phase1", type=int, default=0,
+                    help="two-phase traversal phase-1 advance budget "
+                         "(sorted benches only; 0 = single phase)")
     ap.add_argument("--sorted", action="store_true")
+    ap.add_argument("--debug", action="store_true",
+                    help="per-block traversal profile (debug_totals kernel): "
+                         "while-loop iterations, fetch rounds, distinct mask "
+                         "groups scanned — run on the ray classes instead of "
+                         "timing them")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -164,6 +174,7 @@ def main():
                     tables, oo, d, 1e-6, jnp.inf, res,
                     fetch_colors=not any_hit, any_hit=any_hit,
                     fetch_cadence=cadence, interpret=args.interpret,
+                    block_rows=args.rows,
                 )
                 return acc + jnp.sum(jnp.isfinite(r.distance)) + jnp.sum(r.iters)
 
@@ -188,7 +199,9 @@ def main():
         from voxelrt.config import RenderConfig
         from voxelrt.render.pathtracer import _trace_voxels_sorted
 
-        cfg = RenderConfig(grid_res=res, use_pallas_dda=True)
+        cfg = RenderConfig(grid_res=res, use_pallas_dda=True,
+                           dda_block_rows=args.rows,
+                           dda_phase1_advances=args.phase1)
         o = jnp.asarray(o); d = jnp.asarray(d)
         mk = jnp.asarray(mask)
 
@@ -211,6 +224,49 @@ def main():
         rate = m * (r2 - r1) / dt / 1e6 if dt > 0 else float("nan")
         print(f"{name:16s} {rate:9.1f} Mrays/s (incl dead lanes)", flush=True)
         return rate
+
+    if args.debug:
+        from voxelrt.ops.dda_pallas import _morton3 as morton3
+
+        def debug(name, o, d, any_hit, sort=False):
+            o = np.asarray(o); d = np.asarray(d)
+            if sort:
+                cx = np.clip(o[:, 0].astype(np.int32) >> 2, 0, res // 4 - 1)
+                cy = np.clip(o[:, 1].astype(np.int32) >> 2, 0, res // 4 - 1)
+                cz = np.clip(o[:, 2].astype(np.int32) >> 2, 0, res // 4 - 1)
+                oct_ = ((d[:, 0] > 0) + 2 * (d[:, 1] > 0)
+                        + 4 * (d[:, 2] > 0)).astype(np.int32)
+                key = (np.asarray(jax.device_get(
+                    morton3(jnp.asarray(cx), jnp.asarray(cy),
+                            jnp.asarray(cz)))) << 3) | oct_
+                order = np.argsort(key, kind="stable")
+                o, d = o[order], d[order]
+            r = raytrace_pallas(
+                tables, jnp.asarray(o), jnp.asarray(d), 1e-6, jnp.inf, res,
+                fetch_colors=not any_hit, any_hit=any_hit,
+                interpret=args.interpret, block_rows=args.rows,
+                debug_totals=True,
+            )
+            enc = np.asarray(jax.device_get(r.iters))
+            blocks = enc.reshape(-1, args.rows * 128)[:, 0]
+            total = blocks & 1023
+            nfetch = (blocks >> 10) & 1023
+            ngrp = blocks >> 20
+            gpf = ngrp / np.maximum(nfetch, 1)
+            def q(x):
+                return (f"mean {x.mean():7.1f}  p50 {np.percentile(x, 50):5.0f}"
+                        f"  p90 {np.percentile(x, 90):5.0f}  max {x.max():5.0f}")
+            print(f"{name}: {len(blocks)} blocks")
+            print(f"  loop iters   {q(total)}")
+            print(f"  fetch rounds {q(nfetch)}")
+            print(f"  groups/fetch {q(gpf)}")
+
+        debug("primary (tile order)", o_pri, d_pri, False)
+        debug("bounce (tile order)", hp, d_bnc, False)
+        debug("bounce (morton-sorted)", hp, d_bnc, False, sort=True)
+        debug("shadow anyhit (morton-sorted)", hp, d_sh, True, sort=True)
+        debug("random", o_rnd, d_rnd, False)
+        return
 
     results = {}
     if args.sorted:

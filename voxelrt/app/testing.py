@@ -13,7 +13,10 @@ from voxelrt.world import VoxelWorld
 
 
 def tiny_config(**overrides) -> RenderConfig:
-    base = dict(image_res=(64, 32), grid_res=32, voxel_dx=1.0 / 16.0)
+    # dda_block_rows=8: tests run the Pallas kernel in CPU interpret mode,
+    # where wider blocks only pad tiny ray sets and slow the suite.
+    base = dict(image_res=(64, 32), grid_res=32, voxel_dx=1.0 / 16.0,
+                dda_block_rows=8)
     base.update(overrides)
     return RenderConfig(**base)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +48,12 @@ class RenderConfig:
     # Traversal bound (renderer/raytracer.py:103).
     max_dda_advances: int = 512
 
+    # Two-phase traversal (sorted bounce/shadow wavefronts only): phase 1
+    # runs with this advance budget so lock-step blocks never wait long for
+    # straggler rays; unfinished rays resume in a second dispatch whose
+    # blocks are mostly all-dead (they exit at init). 0 disables.
+    dda_phase1_advances: int = 0
+
     # Traversal backend: the Pallas VMEM kernel (ops/dda_pallas.py) or the
     # portable XLA implementation (ops/dda.py). Auto-selected by the app
     # shell: Pallas on TPU, portable elsewhere. `pallas_interpret` runs the
@@ -61,6 +68,17 @@ class RenderConfig:
     # mask-fetch working sets. A 1M-ray multi-payload route+unroute costs
     # ~4 ms on v5e (tools/sort_bench.py) vs ~50 ms saved on bounce traces.
     sort_rays: bool = True
+
+    # Sublane rows of rays per traversal-kernel block (multiple of 8). The
+    # kernel's iteration is a serial vector dependency chain; R rows per
+    # block interleave R independent chains on the VPU (latency hiding) at
+    # the cost of straggler coupling. Tuned on v5e (tools/trace_bench.py,
+    # example6 scene): 8→16→24 is +42%/+13% on sorted bounce rays and
+    # +64%/+9% on primary; 32 plateaus (bounce regresses) and roughly
+    # doubles the Mosaic compile time again. The env override exists for
+    # the CPU-interpret test suite, where wide blocks only pad tiny ray
+    # sets (tests/conftest.py pins 8).
+    dda_block_rows: int = int(os.environ.get("VOXELRT_DDA_BLOCK_ROWS", "24"))
 
     # Vignette (renderer/pathtracer.py:32-34).
     vignette_strength: float = 0.9

@@ -51,12 +51,12 @@ CELL_RESOLVE_STEPS = 9  # max voxel advances crossing a 4³ cell (3 per axis)
 
 def _gather_1024(table_slab, word_idx):
     """Gather u32 words from a (8, 128) vreg slab by absolute word index
-    [0, 1024) — the roll trick. word_idx: (8, 128) i32."""
+    [0, 1024) — the roll trick. word_idx: (rows, 128) i32."""
     lane = word_idx & 127
     sub = (word_idx >> 7) & 7
     out = jnp.zeros_like(word_idx)
     for k in range(8):
-        row = jnp.broadcast_to(table_slab[k : k + 1, :], (8, 128))
+        row = jnp.broadcast_to(table_slab[k : k + 1, :], word_idx.shape)
         g = jnp.take_along_axis(row, lane, axis=1)
         out = jnp.where(sub == k, g, out)
     return out
@@ -88,15 +88,23 @@ def _gather_words(table_ref, word_idx, n_words):
     return out
 
 
-def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                     tmin_ref, tmax_ref,
-                     lod2_ref, dist3_ref, masks_lo_ref, masks_hi_ref,
-                     colors_ref,
-                     t_ref, ix_ref, iy_ref, iz_ref,
-                     nx_ref, ny_ref, nz_ref, it_ref, col_ref,
-                     *, grid_res, max_advances, fetch_colors, any_hit,
+def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      n_lod2_words, n_dist3_words, fetch_cadence=2,
-                     slow_after=48, debug_totals=False):
+                     slow_after=48, debug_totals=False, resume=False):
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     tmin_ref, tmax_ref) = refs[:8]
+    if resume:
+        # Resume inputs: phase-1 exit state (t doubles as the new tmin via
+        # tmin_ref; normals carry the last advance's face; act flags rays
+        # still unfinished after the phase-1 advance budget).
+        nxi_ref, nyi_ref, nzi_ref, acti_ref = refs[8:12]
+        tbl0 = 12
+    else:
+        tbl0 = 8
+    (lod2_ref, dist3_ref, masks_lo_ref, masks_hi_ref,
+     colors_ref) = refs[tbl0 : tbl0 + 5]
+    (t_ref, ix_ref, iy_ref, iz_ref,
+     nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 5 :]
     res = grid_res
     r2 = res // 4
     fres = float(res)
@@ -134,6 +142,8 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     intersect = (near <= far_box) & ~(ox_out | oy_out | oz_out)
 
     alive0 = intersect & (tmin < far_box) & (tmax > near)
+    if resume:
+        alive0 = alive0 & (acti_ref[0] != 0)
     t0 = jnp.maximum(near, tmin)
     eps = jnp.float32(1e-6)
     px0 = jnp.clip(jnp.floor(ox + dx * (t0 + eps)), 0.0, fres - 1.0)
@@ -143,6 +153,9 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     if any_hit:
         nx0 = ny0 = nz0 = jnp.zeros(px0.shape, jnp.float32)
+    elif resume:
+        # continue with the face crossed by phase 1's last advance
+        nx0, ny0, nz0 = nxi_ref[0], nyi_ref[0], nzi_ref[0]
     else:
         # boundary-voxel initial normal (raytracer.py:98-101)
         idx_ = jnp.abs(ox + dx * (t0 + eps) - fres * 0.5)
@@ -160,6 +173,7 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         nx=nx0, ny=ny0, nz=nz0,
         active=alive0.astype(jnp.int32),
         hit=jnp.zeros(px0.shape, jnp.int32),
+        exh=jnp.zeros(px0.shape, jnp.int32),
         adv=jnp.zeros(px0.shape, jnp.int32),
         total=jnp.int32(0),
         n_live=jnp.sum(alive0.astype(jnp.int32)),
@@ -359,6 +373,7 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         out["n_grp"] = s["n_grp"] + ngrp1
         out["hit"] = s["hit"] | hit1
         exhausted = live & (out["adv"] >= max_advances)
+        out["exh"] = s["exh"] | (exhausted & (hit1 == 0)).astype(jnp.int32)
         out["active"] = (live & (hit1 == 0) & ~exhausted).astype(jnp.int32)
         out["total"] = s["total"] + 1
         return out
@@ -389,6 +404,9 @@ def _traverse_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         )
     else:
         it_ref[0] = s["adv"]
+    # Unfinished rays (advance budget or iteration cap hit before a
+    # hit/miss verdict) — the two-phase caller compacts and resumes these.
+    act_ref[0] = s["active"] | s["exh"]
 
     # --- hit color fetch (skipped for shadow rays) --------------------------
     if fetch_colors:
@@ -433,26 +451,45 @@ class PallasTraceResult(NamedTuple):
     normal: jax.Array  # (N, 3)
     iters: jax.Array
     color_word: jax.Array  # u32 packed r|g<<8|b<<16|mat<<24 (0 unless hit)
+    active: jax.Array  # i32: 1 = unfinished (advance budget hit); resumable
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
-                     "interpret", "fetch_cadence", "debug_totals"),
+                     "interpret", "fetch_cadence", "debug_totals",
+                     "block_rows"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
                     fetch_colors: bool = True, any_hit: bool = False,
                     interpret: bool = False, fetch_cadence: int = 2,
-                    debug_totals: bool = False) -> PallasTraceResult:
+                    debug_totals: bool = False,
+                    block_rows: int = SUBLANES,
+                    resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
-    origin/direction: (N, 3) f32; N is padded to a multiple of 1024.
-    ``any_hit=True`` (shadow rays) skips normal tracking and color fetch;
-    only hit/miss (finite vs inf distance) is meaningful in the result.
+    origin/direction: (N, 3) f32; N is padded to a multiple of the block
+    size. ``any_hit=True`` (shadow rays) skips normal tracking and color
+    fetch; only hit/miss (finite vs inf distance) is meaningful in the
+    result.
+
+    ``block_rows``: sublane rows of rays marched per grid step (a multiple
+    of 8). The kernel's per-iteration work is a serial dependency chain of
+    vector ops, so one (8, 128) row leaves the VPU mostly idle on latency;
+    marching R independent rows per block interleaves R chains (ILP) at the
+    cost of straggler coupling (a block runs until its worst ray finishes).
+
+    ``resume_state``: optional (t, normal, active) from a prior budget-capped
+    trace of the SAME (origin, direction) rays — two-phase traversal. The
+    trace restarts each active ray at parameter ``t`` carrying the face
+    normal of its last advance; rays with active == 0 exit immediately.
+    ``ray_min_t`` is ignored for resumed rays (t takes its place).
     """
     n = origin.shape[0]
-    pad = (-n) % BLOCK_RAYS
+    assert block_rows % SUBLANES == 0, block_rows
+    block_rays = block_rows * LANES
+    pad = (-n) % block_rays
     npad = n + pad
 
     def prep(x):
@@ -461,18 +498,29 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
 
     o = prep(origin)
     d = prep(direction)
-    tmin = prep(jnp.broadcast_to(jnp.asarray(ray_min_t, jnp.float32), (n,)))
+    resume = resume_state is not None
+    if resume:
+        rs_t, rs_n, rs_act = resume_state
+        # finished rays carry t = inf; keep dead lanes' math finite
+        tmin = prep(jnp.where(rs_act != 0, rs_t, 0.0).astype(jnp.float32))
+    else:
+        tmin = prep(jnp.broadcast_to(jnp.asarray(ray_min_t, jnp.float32),
+                                     (n,)))
     tmax = prep(jnp.broadcast_to(jnp.asarray(ray_max_t, jnp.float32), (n,)))
-    nb = npad // BLOCK_RAYS
+    nb = npad // block_rays
 
     def blk(x):
-        return x.reshape(nb, SUBLANES, LANES)
+        return x.reshape(nb, block_rows, LANES)
 
     ins = [blk(o[:, 0]), blk(o[:, 1]), blk(o[:, 2]),
            blk(d[:, 0]), blk(d[:, 1]), blk(d[:, 2]),
            blk(tmin), blk(tmax)]
+    if resume:
+        ins += [blk(prep(rs_n[:, 0])), blk(prep(rs_n[:, 1])),
+                blk(prep(rs_n[:, 2])),
+                blk(prep(rs_act.astype(jnp.int32)))]
 
-    ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda b: (b, 0, 0),
+    ray_spec = pl.BlockSpec((1, block_rows, LANES), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def table_spec(rows):
@@ -492,27 +540,28 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     masks_hi = tables.cell_masks_hi.reshape(-1, LANES).astype(jnp.int32)
     colors = tables.cell_colors.reshape(-1, LANES).astype(jnp.int32)
 
-    out_shapes = [jax.ShapeDtypeStruct((nb, SUBLANES, LANES), dt)
+    out_shapes = [jax.ShapeDtypeStruct((nb, block_rows, LANES), dt)
                   for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.int32,
                              jnp.float32, jnp.float32, jnp.float32,
-                             jnp.int32, jnp.int32)]
+                             jnp.int32, jnp.int32, jnp.int32)]
 
     kernel = functools.partial(
         _traverse_kernel, grid_res=grid_res, max_advances=max_advances,
         fetch_colors=fetch_colors, any_hit=any_hit,
         n_lod2_words=n_lod2_words, n_dist3_words=n_dist3_words,
         fetch_cadence=fetch_cadence, debug_totals=debug_totals,
+        resume=resume,
     )
 
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[ray_spec] * 8 + [
+        in_specs=[ray_spec] * (12 if resume else 8) + [
             table_spec(lod2.shape[0]), table_spec(dist3.shape[0]),
             table_spec(masks_lo.shape[0]), table_spec(masks_hi.shape[0]),
             table_spec(colors.shape[0]),
         ],
-        out_specs=[ray_spec] * 9,
+        out_specs=[ray_spec] * 10,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -520,11 +569,14 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         interpret=interpret,
     )(*ins, lod2, dist3, masks_lo, masks_hi, colors)
 
-    t, ix, iy, iz, nx, ny, nz, it, col = [x.reshape(npad)[:n] for x in outs]
+    t, ix, iy, iz, nx, ny, nz, it, col, act = [
+        x.reshape(npad)[:n] for x in outs
+    ]
     return PallasTraceResult(
         distance=t,
         ipos=jnp.stack([ix, iy, iz], axis=-1),
         normal=jnp.stack([nx, ny, nz], axis=-1),
         iters=it,
         color_word=col.astype(jnp.uint32),
+        active=act,
     )

@@ -155,7 +155,8 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
     blocks exit after one iteration) and live blocks spatially tight. Two
     multi-payload lax.sorts cost ~4 ms/Mray (tools/sort_bench.py).
     """
-    from voxelrt.ops.dda_pallas import _morton3, raytrace_pallas
+    from voxelrt.ops.dda_pallas import (_morton3, PallasTraceResult,
+                                        raytrace_pallas)
 
     n = origin.shape[0]
     r2 = cfg.grid_res // 4
@@ -175,12 +176,38 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
          d[:, 0], d[:, 1], d[:, 2], tmax],
         num_keys=1,
     )
+    p1 = cfg.dda_phase1_advances
+    so = jnp.stack([o0, o1, o2], -1)
+    sd = jnp.stack([d0, d1, d2], -1)
     tr = raytrace_pallas(
-        tables, jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1),
-        tmin, stmax, cfg.grid_res, cfg.max_dda_advances,
+        tables, so, sd, tmin, stmax, cfg.grid_res,
+        min(p1, cfg.max_dda_advances) if p1 else cfg.max_dda_advances,
         fetch_colors=not shadow_ray, any_hit=shadow_ray,
-        interpret=cfg.pallas_interpret,
+        interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
     )
+    if p1 and p1 < cfg.max_dda_advances:
+        # Two-phase traversal: phase 1 ran with a small advance budget, so
+        # no lock-step block waits long for straggler rays; the few
+        # unfinished rays resume here against the full budget. They stay in
+        # phase-1 sorted order WITHOUT recompacting: stragglers live in
+        # dense geometry, which the morton sort already clusters into few
+        # blocks — the rest of the phase-2 blocks are all-dead and exit
+        # after the init step (no extra multi-payload sort needed).
+        tr2 = raytrace_pallas(
+            tables, so, sd, tmin, stmax, cfg.grid_res, cfg.max_dda_advances,
+            fetch_colors=not shadow_ray, any_hit=shadow_ray,
+            interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
+            resume_state=(tr.distance, tr.normal, tr.active),
+        )
+        a = tr.active != 0
+        tr = PallasTraceResult(
+            distance=jnp.where(a, tr2.distance, tr.distance),
+            ipos=jnp.where(a[:, None], tr2.ipos, tr.ipos),
+            normal=jnp.where(a[:, None], tr2.normal, tr.normal),
+            iters=tr.iters + jnp.where(a, tr2.iters, 0),
+            color_word=jnp.where(a, tr2.color_word, tr.color_word),
+            active=tr2.active,
+        )
     if shadow_ray:
         _, dist = jax.lax.sort([sidx, tr.distance], num_keys=1)
         return tr._replace(distance=dist)
@@ -251,6 +278,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 scene.tables, eye_scaled, d, EPS, tmax, cfg.grid_res,
                 cfg.max_dda_advances, fetch_colors=not shadow_ray,
                 any_hit=shadow_ray, interpret=cfg.pallas_interpret,
+                block_rows=cfg.dda_block_rows,
             )
         color_word = tr.color_word
     else:
@@ -278,22 +306,26 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
 
 
 def get_cast_dir(cfg, params, key, u, v, camera_is_moving: bool,
-                 render_scale: float):
+                 render_scale: float, jitter_u=None):
     """Primary ray directions (renderer/pathtracer.py:293-312).
 
     The TAA jitter is drawn per SAMPLE from the sample key (the reference
     draws it per frame in set_proj_mat, renderer/pathtracer.py:263-265; one
     progressive sample here == one frame there), so a static-camera
     accumulation anti-aliases exactly like the reference's frame loop.
+
+    ``jitter_u``: optional (N, 2) raw uniforms replacing the per-call draw —
+    used when several samples' rays are traced in one batched wavefront,
+    each sample slice carrying its own sample-key jitter.
     """
     inv_res = jnp.asarray(
         [1.0 / cfg.image_res[0], 1.0 / cfg.image_res[1]], jnp.float32
     )
     texcoord = (jnp.stack([u, v], axis=-1) + 0.5) * inv_res / render_scale
     if not camera_is_moving:
-        jitter = (
-            jax.random.uniform(jax.random.fold_in(key, 417), (2,)) * 2.0 - 1.0
-        ) * inv_res
+        if jitter_u is None:
+            jitter_u = jax.random.uniform(jax.random.fold_in(key, 417), (2,))
+        jitter = (jitter_u * 2.0 - 1.0) * inv_res
         texcoord = texcoord + jitter * 0.5
     d = normalize(screen_to_view(texcoord, 1.0, params.proj_inv))
     d = view_to_world(d, params.view_inv, 0.0)
@@ -338,14 +370,23 @@ def sky_transmittance(cfg, scene, d):
 
 
 def trace_sample(cfg, scene, params, key, u, v,
-                 camera_is_moving: bool, render_scale: float):
+                 camera_is_moving: bool, render_scale: float,
+                 sample_keys=None, jitter_u=None):
     """Trace one progressive sample for pixels (u, v) — the megakernel body
     (renderer/pathtracer.py:355-632). Returns a dict of per-pixel outputs.
+
+    ``sample_keys``/``jitter_u``: per-ray base keys and raw TAA uniforms for
+    BATCHED wavefronts — several samples' rays traced as one SoA wavefront
+    (pipeline.accumulate builds them so each sample slice draws exactly the
+    randoms it would draw traced alone). Batching multiplies the ray count
+    the sorted traversal dispatches see, which compacts dead lanes into
+    whole dead blocks and tightens per-block fetch working sets.
     """
     n = u.shape[0]
     f3 = lambda: jnp.zeros((n, 3), jnp.float32)
 
-    d = get_cast_dir(cfg, params, key, u, v, camera_is_moving, render_scale)
+    d = get_cast_dir(cfg, params, key, u, v, camera_is_moving, render_scale,
+                     jitter_u=jitter_u)
     pos = jnp.broadcast_to(params.camera_pos, (n, 3))
 
     # is_outside_render_area (renderer/pathtracer.py:289-291).
@@ -387,7 +428,10 @@ def trace_sample(cfg, scene, params, key, u, v,
     # (shaped jax.random draws would depend on the local shard shape).
     pid = u.astype(jnp.int32) * jnp.int32(cfg.image_res[1]) + v.astype(jnp.int32)
     n_draws = 8 * cfg.max_ray_depth + 1
-    keys_px = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pid)
+    if sample_keys is None:
+        keys_px = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pid)
+    else:
+        keys_px = jax.vmap(jax.random.fold_in)(sample_keys, pid)
     draws = jax.vmap(lambda k: jax.random.uniform(k, (n_draws,)))(keys_px)
 
     # ReSTIR-PT input-sample state (renderer/pathtracer.py:336-347, 381-391);

@@ -144,20 +144,43 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
     if cfg.use_restir_pt:
         # The GRIS pass consumes one reservoir per sample.
         assert k_samples == 1, "samples_per_launch must be 1 with ReSTIR-PT"
-    out = trace_sample(cfg, scene, params, key, u, v,
-                       camera_is_moving, render_scale)
-    if k_samples > 1:
-        def extra(i, acc):
-            d, s = acc
-            o = trace_sample(cfg, scene, params,
-                             jax.random.fold_in(key, 7000 + i),
-                             u, v, camera_is_moving, render_scale)
-            return d + o["diffuse"], s + o["specular"]
-
-        dsum, ssum = jax.lax.fori_loop(
-            1, k_samples, extra, (out["diffuse"], out["specular"])
+    if k_samples == 1:
+        out = trace_sample(cfg, scene, params, key, u, v,
+                           camera_is_moving, render_scale)
+    else:
+        # Batched wavefront: all k samples' rays traced as ONE SoA wavefront
+        # (k·n rays) so the sorted traversal dispatches see k× the ray
+        # density — dead lanes compact into whole dead blocks and per-block
+        # fetch working sets tighten. Each sample slice draws exactly the
+        # randoms it would draw traced alone (same per-sample keys as the
+        # sequential formulation this replaces), so the converged image is
+        # unchanged; only the f32 summation order differs.
+        n = u.shape[0]
+        skeys = jnp.stack(
+            [key] + [jax.random.fold_in(key, 7000 + i)
+                     for i in range(1, k_samples)]
         )
-        out = dict(out, diffuse=dsum / k_samples, specular=ssum / k_samples)
+        sample_keys = jnp.repeat(skeys, n, axis=0)
+        jitter_u = None
+        if not camera_is_moving:
+            ju = jax.vmap(
+                lambda k_: jax.random.uniform(jax.random.fold_in(k_, 417), (2,))
+            )(skeys)
+            jitter_u = jnp.repeat(ju, n, axis=0)
+        out = trace_sample(
+            cfg, scene, params, key,
+            jnp.tile(u, k_samples), jnp.tile(v, k_samples),
+            camera_is_moving, render_scale,
+            sample_keys=sample_keys, jitter_u=jitter_u,
+        )
+        diffuse = out["diffuse"].reshape(k_samples, n, 3).mean(axis=0)
+        specular = out["specular"].reshape(k_samples, n, 3).mean(axis=0)
+        # G-buffer and ReSTIR-adjacent outputs come from sample 0's slice
+        # (the reference keeps the last frame's G-buffer; any one sample's
+        # is equally valid — they share the camera).
+        out = {k_: v_[:n] for k_, v_ in out.items()}
+        out["diffuse"] = diffuse
+        out["specular"] = specular
 
     def img(x, ch=None):
         del ch
