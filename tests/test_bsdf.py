@@ -120,3 +120,22 @@ def test_sampled_dirs_unit_length():
     assert set(np.unique(np.asarray(lobe))) <= {0, 1, 2}
     assert np.isfinite(np.asarray(pdf)).all()
     assert np.isfinite(np.asarray(brdf)).all()
+
+
+def test_fused_eval_split_pdf_bitwise():
+    """disney_eval_split_pdf == disney_evaluate_split + pdf_disney exactly
+    (the NEE inner loop uses the fused form; any drift would shift images)."""
+    n = 20_000
+    for mat_id in [1, 21, 32, 50, 54]:
+        mat = _mat(mat_id, n)
+        nrm, v, tang, bitang = _frames(n, seed=7)
+        l = jax.random.normal(jax.random.PRNGKey(13), (n, 3))
+        l = l / np.linalg.norm(np.asarray(l), axis=1, keepdims=True)
+        d0, s0 = bsdf.disney_evaluate_split(mat, v, nrm, l, tang, bitang)
+        p0 = bsdf.pdf_disney(mat, v, nrm, l, tang, bitang)
+        d1, s1, p1 = bsdf.disney_eval_split_pdf(mat, v, nrm, l, tang, bitang)
+        assert np.array_equal(np.asarray(d0), np.asarray(d1))
+        assert np.array_equal(np.asarray(s0), np.asarray(s1))
+        assert np.array_equal(
+            np.nan_to_num(np.asarray(p0)), np.nan_to_num(np.asarray(p1))
+        )

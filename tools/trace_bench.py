@@ -62,6 +62,8 @@ def main():
     ap.add_argument("--phase1", type=int, default=0,
                     help="two-phase traversal phase-1 advance budget "
                          "(sorted benches only; 0 = single phase)")
+    ap.add_argument("--groupwords", type=int, default=1024,
+                    help="mask-scan group size in cells (power of two)")
     ap.add_argument("--sorted", action="store_true")
     ap.add_argument("--debug", action="store_true",
                     help="per-block traversal profile (debug_totals kernel): "
@@ -175,6 +177,7 @@ def main():
                     fetch_colors=not any_hit, any_hit=any_hit,
                     fetch_cadence=cadence, interpret=args.interpret,
                     block_rows=args.rows,
+                    mask_group_words=args.groupwords,
                 )
                 return acc + jnp.sum(jnp.isfinite(r.distance)) + jnp.sum(r.iters)
 
@@ -201,7 +204,8 @@ def main():
 
         cfg = RenderConfig(grid_res=res, use_pallas_dda=True,
                            dda_block_rows=args.rows,
-                           dda_phase1_advances=args.phase1)
+                           dda_phase1_advances=args.phase1,
+                           dda_mask_group_words=args.groupwords)
         o = jnp.asarray(o); d = jnp.asarray(d)
         mk = jnp.asarray(mask)
 
@@ -245,7 +249,7 @@ def main():
                 tables, jnp.asarray(o), jnp.asarray(d), 1e-6, jnp.inf, res,
                 fetch_colors=not any_hit, any_hit=any_hit,
                 interpret=args.interpret, block_rows=args.rows,
-                debug_totals=True,
+                mask_group_words=args.groupwords, debug_totals=True,
             )
             enc = np.asarray(jax.device_get(r.iters))
             blocks = enc.reshape(-1, args.rows * 128)[:, 0]

@@ -64,10 +64,12 @@ class RenderConfig:
     # Sort incoherent (bounce/shadow) rays by origin-cell morton code before
     # dispatching the Pallas kernel: terminated lanes compact to the back
     # (whole blocks exit after one iteration) and live blocks become
-    # spatially tight, shrinking per-block straggler iteration counts and
-    # mask-fetch working sets. A 1M-ray multi-payload route+unroute costs
-    # ~4 ms on v5e (tools/sort_bench.py) vs ~50 ms saved on bounce traces.
-    sort_rays: bool = True
+    # spatially tight. Default OFF since block_rows=24: the kernel now
+    # absorbs tile-ordered wavefronts well enough that the four 7.4M-lane
+    # multi-payload route/unroute sorts per depth cost more than they save
+    # (measured 188.7 vs 204.0 ms/spp on example6 @720p x8 samples,
+    # PERF_NOTES.md round-2 frame dissection).
+    sort_rays: bool = False
 
     # Sublane rows of rays per traversal-kernel block (multiple of 8). The
     # kernel's iteration is a serial vector dependency chain; R rows per
@@ -79,6 +81,14 @@ class RenderConfig:
     # the CPU-interpret test suite, where wide blocks only pad tiny ray
     # sets (tests/conftest.py pins 8).
     dda_block_rows: int = int(os.environ.get("VOXELRT_DDA_BLOCK_ROWS", "24"))
+
+    # Cells per mask-scan group in the traversal kernel (power of two,
+    # >= 128). The per-block debug profile (tools/trace_bench.py --debug)
+    # showed sorted-bounce blocks spend ~65% of their time scanning mask
+    # groups (4.2 distinct 1024-cell groups per fetch round x 16 roll-gather
+    # rounds each); smaller groups cost proportionally fewer rounds per scan
+    # while morton-sorted blocks touch only slightly more of them.
+    dda_mask_group_words: int = 1024
 
     # Vignette (renderer/pathtracer.py:32-34).
     vignette_strength: float = 0.9

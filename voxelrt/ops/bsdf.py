@@ -204,6 +204,51 @@ def disney_evaluate(mat, v, n, l, tang, bitang):
     return d + s
 
 
+def disney_eval_split_pdf(mat, v, n, l, tang, bitang):
+    """Fused (diffuse, specular, mixture pdf) — bitwise equal to
+    ``disney_evaluate_split`` + ``pdf_disney`` (renderer/bsdf.py:138-172,
+    383-393) but sharing the half-vector frame, GTR/Smith terms and lobe
+    weights between the two: the NEE inner loop calls both per depth on
+    every lane, so the duplicate lobe stack is pure waste there.
+    """
+    q = _half_vectors(v, n, l, tang, bitang)
+    valid = (q["n_dot_l"] > 0.0) & (q["n_dot_v"] > 0.0)
+    ax, ay = _aniso_alphas(mat)
+
+    # shared lobe terms
+    spec_d = gtr2_anisotropic(q["n_dot_h"], q["h_dot_x"], q["h_dot_y"], ax, ay)
+    g1_v = smith_g_ggx_aniso(q["n_dot_v"], q["v_dot_x"], q["v_dot_y"], ax, ay)
+    cc_alpha = mix(0.1, 0.001, mat.clearcoat_gloss)
+    cc_d = gtr1(jnp.abs(q["n_dot_h"]), cc_alpha)
+
+    # evaluate (disney_evaluate_split)
+    bsdf_d = disney_diffuse(mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"]) * (
+        1.0 - mat.metallic
+    )[..., None]
+    g = smith_g_ggx_aniso(q["n_dot_l"], q["l_dot_x"], q["l_dot_y"], ax, ay) * g1_v
+    f = disney_fresnel(mat, q["l_dot_h"])
+    bsdf_s = (spec_d * g)[..., None] * f
+    cc_f = mix(0.04, 1.0, _pow5(1.0 - q["l_dot_h"]))
+    cc_g = smith_g_ggx(q["n_dot_l"], 0.25) * smith_g_ggx(q["n_dot_v"], 0.25)
+    bsdf_s = bsdf_s + (mat.clearcoat * cc_d * cc_f * cc_g)[..., None]
+    m = valid[..., None]
+
+    # pdf (pdf_disney); v_dot_h kept as its own dot for bitwise parity with
+    # pdf_clearcoat's dot(v, h)
+    dw, sw, cw = lobe_probabilities(mat)
+    pdf_d = saturate(q["n_dot_l"]) / PI
+    pdf_s = (
+        g1_v * jnp.abs(q["l_dot_h"]) * spec_d
+        / jnp.maximum(jnp.abs(q["n_dot_l"]), 1e-20)
+    )
+    v_dot_h = dot(v, q["h"])
+    pdf_c = cc_d * jnp.abs(q["n_dot_h"]) / jnp.where(
+        v_dot_h == 0.0, 1e-20, 4.0 * v_dot_h
+    )
+    pdf = pdf_d * dw + pdf_s * sw + pdf_c * cw
+    return jnp.where(m, bsdf_d, 0.0), jnp.where(m, bsdf_s, 0.0), pdf
+
+
 def disney_evaluate_lobewise_split(mat, v, n, l, tang, bitang, lobe_id,
                                    specular_mult=1.0):
     """renderer/bsdf.py:306-344 — lobe_id is a traced per-ray int."""

@@ -49,16 +49,16 @@ BLOCK_RAYS = SUBLANES * LANES  # rays per grid step
 CELL_RESOLVE_STEPS = 9  # max voxel advances crossing a 4³ cell (3 per axis)
 
 
-def _gather_1024(table_slab, word_idx):
-    """Gather u32 words from a (8, 128) vreg slab by absolute word index
-    [0, 1024) — the roll trick. word_idx: (rows, 128) i32."""
+def _gather_1024(table_slab, word_idx, slab_rows=8):
+    """Gather u32 words from a (slab_rows, 128) vreg slab by absolute word
+    index [0, slab_rows*128) — the roll trick. word_idx: (rows, 128) i32."""
     lane = word_idx & 127
-    sub = (word_idx >> 7) & 7
+    sub = (word_idx >> 7) & (slab_rows - 1)
     out = jnp.zeros_like(word_idx)
-    for k in range(8):
+    for k in range(slab_rows):
         row = jnp.broadcast_to(table_slab[k : k + 1, :], word_idx.shape)
         g = jnp.take_along_axis(row, lane, axis=1)
-        out = jnp.where(sub == k, g, out)
+        out = jnp.where(sub == k, g, out) if slab_rows > 1 else g
     return out
 
 
@@ -90,7 +90,8 @@ def _gather_words(table_ref, word_idx, n_words):
 
 def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      n_lod2_words, n_dist3_words, fetch_cadence=2,
-                     slow_after=48, debug_totals=False, resume=False):
+                     slow_after=48, debug_totals=False, resume=False,
+                     mask_group_words=1024):
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      tmin_ref, tmax_ref) = refs[:8]
     if resume:
@@ -219,7 +220,12 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         # while occupied). Mask tables are MORTON cell-ordered so a block's
         # 3-D-local working set is a handful of distinct slab groups.
         mcell = _morton3(px >> 2, py >> 2, pz >> 2)
-        grp = mcell >> 10  # 1024 cells per (8,128) slab of mask words
+        # mask_group_words cells per scan group (a morton-contiguous voxel
+        # region); smaller groups cost proportionally fewer roll rounds per
+        # scan while sorted blocks touch only slightly more of them.
+        grp_shift = mask_group_words.bit_length() - 1
+        grp_rows = mask_group_words // LANES
+        grp = mcell >> grp_shift
         # ONE packed min-reduce answers three questions (scalar-producing
         # reductions cost ~130 ns each): BIGI ⇒ no live rays (loop can stop),
         # NOFETCH ⇒ live rays but none at an occupied cell, < NOFETCH ⇒ the
@@ -232,7 +238,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         do_fetch = (key0 < NOFETCH) & (
             (s["total"] % fetch_cadence == 0) | (s["total"] >= slow_after)
         )
-        widx = mcell & 1023  # word index within the group slab
+        widx = mcell & (mask_group_words - 1)  # word index in the group slab
 
         def fetch_and_resolve():
             # Iterate DISTINCT groups via a min-reduce loop; the min doubles
@@ -243,8 +249,12 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             def fbody(c):
                 lo, hi, g, remaining, ng = c
                 wanted = (remaining != 0) & (grp == g)
-                glo = _gather_1024(masks_lo_ref[pl.ds(g * 8, 8), :], widx)
-                ghi = _gather_1024(masks_hi_ref[pl.ds(g * 8, 8), :], widx)
+                glo = _gather_1024(
+                    masks_lo_ref[pl.ds(g * grp_rows, grp_rows), :], widx,
+                    grp_rows)
+                ghi = _gather_1024(
+                    masks_hi_ref[pl.ds(g * grp_rows, grp_rows), :], widx,
+                    grp_rows)
                 lo = jnp.where(wanted, glo, lo)
                 hi = jnp.where(wanted, ghi, hi)
                 remaining = remaining & ~wanted.astype(jnp.int32)
@@ -458,7 +468,7 @@ class PallasTraceResult(NamedTuple):
     jax.jit,
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
                      "interpret", "fetch_cadence", "debug_totals",
-                     "block_rows"),
+                     "block_rows", "mask_group_words"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -466,6 +476,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     interpret: bool = False, fetch_cadence: int = 2,
                     debug_totals: bool = False,
                     block_rows: int = SUBLANES,
+                    mask_group_words: int = 1024,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
@@ -488,6 +499,9 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     """
     n = origin.shape[0]
     assert block_rows % SUBLANES == 0, block_rows
+    assert (mask_group_words >= LANES
+            and mask_group_words & (mask_group_words - 1) == 0), \
+        mask_group_words
     block_rays = block_rows * LANES
     pad = (-n) % block_rays
     npad = n + pad
@@ -550,7 +564,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         fetch_colors=fetch_colors, any_hit=any_hit,
         n_lod2_words=n_lod2_words, n_dist3_words=n_dist3_words,
         fetch_cadence=fetch_cadence, debug_totals=debug_totals,
-        resume=resume,
+        resume=resume, mask_group_words=mask_group_words,
     )
 
     outs = pl.pallas_call(

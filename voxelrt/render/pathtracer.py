@@ -37,8 +37,7 @@ from voxelrt.ops import packing
 from voxelrt.ops.bsdf import (
     LOBE_DIFFUSE,
     LOBE_SPEC_REFL,
-    disney_evaluate_split,
-    pdf_disney,
+    disney_eval_split_pdf,
     sample_disney,
 )
 from voxelrt.ops.dda import OccupancyPyramid, raytrace
@@ -184,6 +183,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
         min(p1, cfg.max_dda_advances) if p1 else cfg.max_dda_advances,
         fetch_colors=not shadow_ray, any_hit=shadow_ray,
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
+        mask_group_words=cfg.dda_mask_group_words,
     )
     if p1 and p1 < cfg.max_dda_advances:
         # Two-phase traversal: phase 1 ran with a small advance budget, so
@@ -197,6 +197,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
             tables, so, sd, tmin, stmax, cfg.grid_res, cfg.max_dda_advances,
             fetch_colors=not shadow_ray, any_hit=shadow_ray,
             interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
+            mask_group_words=cfg.dda_mask_group_words,
             resume_state=(tr.distance, tr.normal, tr.active),
         )
         a = tr.active != 0
@@ -279,6 +280,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 cfg.max_dda_advances, fetch_colors=not shadow_ray,
                 any_hit=shadow_ray, interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
+                mask_group_words=cfg.dda_mask_group_words,
             )
         color_word = tr.color_word
     else:
@@ -561,7 +563,9 @@ def trace_sample(cfg, scene, params, key, u, v,
                 u_nee,
             )
             ndl = dot(light_dir, hit.normal)
-            light_sample_bsdf_pdf = pdf_disney(
+            # one fused lobe stack for the NEE pdf AND its bsdf value
+            # (bitwise equal to pdf_disney + disney_evaluate_split)
+            bsdf_d, bsdf_s, light_sample_bsdf_pdf = disney_eval_split_pdf(
                 hit_mat, view, hit.normal, light_dir, tang, bitang
             )
             if depth == 0:
@@ -580,9 +584,6 @@ def trace_sample(cfg, scene, params, key, u, v,
                 light_pdf = cone_sample_pdf(params.light_cone_cos_theta_max, 1.0)
                 light_mis = power_heuristic(light_pdf, light_sample_bsdf_pdf)
 
-            bsdf_d, bsdf_s = disney_evaluate_split(
-                hit_mat, view, hit.normal, light_dir, tang, bitang
-            )
             strans = sky_transmittance(cfg, scene, light_dir)
             scale = (
                 light_mis * cfg.light_weight * jnp.maximum(ndl, 0.0)
