@@ -64,6 +64,9 @@ def main():
                          "(sorted benches only; 0 = single phase)")
     ap.add_argument("--groupwords", type=int, default=1024,
                     help="mask-scan group size in cells (power of two)")
+    ap.add_argument("--probe", type=int, default=0,
+                    help="kernel perf probe (WRONG RESULTS): 1=pin mask "
+                         "slab slice, 2=skip mask gathers; bounce bench only")
     ap.add_argument("--sorted", action="store_true")
     ap.add_argument("--debug", action="store_true",
                     help="per-block traversal profile (debug_totals kernel): "
@@ -178,6 +181,7 @@ def main():
                     fetch_cadence=cadence, interpret=args.interpret,
                     block_rows=args.rows,
                     mask_group_words=args.groupwords,
+                    perf_probe=args.probe,
                 )
                 return acc + jnp.sum(jnp.isfinite(r.distance)) + jnp.sum(r.iters)
 
@@ -280,6 +284,11 @@ def main():
                      np.ones(m, bool))
     for cad in args.cadence:
         print(f"--- fetch_cadence={cad}")
+        if args.probe:
+            results["bounce"] = bench("bounce", hp.astype(np.float32), d_bnc,
+                                      False, cad)
+            print({k: round(v, 1) for k, v in results.items()})
+            continue
         results["primary"] = bench("primary", o_pri, d_pri, False, cad)
         results["bounce"] = bench("bounce", hp.astype(np.float32), d_bnc, False, cad)
         results["shadow_anyhit"] = bench("shadow_anyhit", hp.astype(np.float32), d_sh, True, cad)

@@ -91,7 +91,7 @@ def _gather_words(table_ref, word_idx, n_words):
 def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      n_lod2_words, n_dist3_words, fetch_cadence=2,
                      slow_after=48, debug_totals=False, resume=False,
-                     mask_group_words=1024):
+                     mask_group_words=1024, perf_probe=0):
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      tmin_ref, tmax_ref) = refs[:8]
     if resume:
@@ -249,12 +249,19 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             def fbody(c):
                 lo, hi, g, remaining, ng = c
                 wanted = (remaining != 0) & (grp == g)
-                glo = _gather_1024(
-                    masks_lo_ref[pl.ds(g * grp_rows, grp_rows), :], widx,
-                    grp_rows)
-                ghi = _gather_1024(
-                    masks_hi_ref[pl.ds(g * grp_rows, grp_rows), :], widx,
-                    grp_rows)
+                # perf_probe (WRONG RESULTS, timing only): 1 = pin the
+                # dynamic sublane slice to row 0; 2 = skip the roll gathers.
+                row0 = g * grp_rows if perf_probe != 1 else 0
+                if perf_probe == 2:
+                    glo = widx
+                    ghi = widx
+                else:
+                    glo = _gather_1024(
+                        masks_lo_ref[pl.ds(row0, grp_rows), :], widx,
+                        grp_rows)
+                    ghi = _gather_1024(
+                        masks_hi_ref[pl.ds(row0, grp_rows), :], widx,
+                        grp_rows)
                 lo = jnp.where(wanted, glo, lo)
                 hi = jnp.where(wanted, ghi, hi)
                 remaining = remaining & ~wanted.astype(jnp.int32)
@@ -468,7 +475,7 @@ class PallasTraceResult(NamedTuple):
     jax.jit,
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
                      "interpret", "fetch_cadence", "debug_totals",
-                     "block_rows", "mask_group_words"),
+                     "block_rows", "mask_group_words", "perf_probe"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -476,7 +483,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     interpret: bool = False, fetch_cadence: int = 2,
                     debug_totals: bool = False,
                     block_rows: int = SUBLANES,
-                    mask_group_words: int = 1024,
+                    mask_group_words: int = 1024, perf_probe: int = 0,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
@@ -565,6 +572,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         n_lod2_words=n_lod2_words, n_dist3_words=n_dist3_words,
         fetch_cadence=fetch_cadence, debug_totals=debug_totals,
         resume=resume, mask_group_words=mask_group_words,
+        perf_probe=perf_probe,
     )
 
     outs = pl.pallas_call(
