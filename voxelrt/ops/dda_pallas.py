@@ -167,15 +167,36 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         ny0 = jnp.where(alive0, (idy_ == mx).astype(jnp.float32), 0.0)
         nz0 = jnp.where(alive0, (idz_ == mx).astype(jnp.float32), 0.0)
 
+    # Loop-carried per-ray state is PACKED into three vector arrays (t,
+    # word, af) instead of eleven: at block_rows=24 the unpacked carries
+    # alone were ~33 vregs, forcing VMEM spills every iteration.
+    #   word = (px+1) | (py+1)<<8 | (pz+1)<<16 | (nx+1)<<24 | (ny+1)<<26
+    #          | (nz+1)<<28        (positions span [-1, res]; res <= 254)
+    #   af   = adv | active<<16 | hit<<17 | exh<<18
+    assert res <= 254, res
+
+    def pack_word(px_, py_, pz_, nx_, ny_, nz_):
+        return (
+            (px_ + 1) | ((py_ + 1) << 8) | ((pz_ + 1) << 16)
+            | ((nx_.astype(jnp.int32) + 1) << 24)
+            | ((ny_.astype(jnp.int32) + 1) << 26)
+            | ((nz_.astype(jnp.int32) + 1) << 28)
+        )
+
+    def unpack_word(word):
+        px_ = (word & 255) - 1
+        py_ = ((word >> 8) & 255) - 1
+        pz_ = ((word >> 16) & 255) - 1
+        nx_ = (((word >> 24) & 3) - 1).astype(jnp.float32)
+        ny_ = (((word >> 26) & 3) - 1).astype(jnp.float32)
+        nz_ = (((word >> 28) & 3) - 1).astype(jnp.float32)
+        return px_, py_, pz_, nx_, ny_, nz_
+
     state = dict(
         t=jnp.where(alive0, t0, BIG),
-        px=px0.astype(jnp.int32), py=py0.astype(jnp.int32),
-        pz=pz0.astype(jnp.int32),
-        nx=nx0, ny=ny0, nz=nz0,
-        active=alive0.astype(jnp.int32),
-        hit=jnp.zeros(px0.shape, jnp.int32),
-        exh=jnp.zeros(px0.shape, jnp.int32),
-        adv=jnp.zeros(px0.shape, jnp.int32),
+        word=pack_word(px0.astype(jnp.int32), py0.astype(jnp.int32),
+                       pz0.astype(jnp.int32), nx0, ny0, nz0),
+        af=alive0.astype(jnp.int32) << 16,
         total=jnp.int32(0),
         n_live=jnp.sum(alive0.astype(jnp.int32)),
         n_fetch=jnp.int32(0),
@@ -194,8 +215,11 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
 
     def body(s):
         t = s["t"]
-        px, py, pz = s["px"], s["py"], s["pz"]
-        active = s["active"] != 0
+        px, py, pz, s_nx, s_ny, s_nz = unpack_word(s["word"])
+        s_adv = s["af"] & 0xFFFF
+        active = (s["af"] & (1 << 16)) != 0
+        s_hit = (s["af"] >> 17) & 1
+        s_exh = (s["af"] >> 18) & 1
 
         # A ray that stepped outside the grid has left the volume — the
         # far-clip float comparison alone can miss the exit face by an ulp,
@@ -282,7 +306,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             cby = ((py >> 2) << 2)
             cbz = ((pz >> 2) << 2)
             rt, rpx, rpy, rpz = t, px, py, pz
-            rnx, rny, rnz = s["nx"], s["ny"], s["nz"]
+            rnx, rny, rnz = s_nx, s_ny, s_nz
             rhit = jnp.zeros(px.shape, jnp.bool_)
             steps = jnp.zeros(px.shape, jnp.int32)
             moving = at_occ
@@ -333,7 +357,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         t1, px1, py1, pz1, nx1, ny1, nz1, hit1, steps1, ngrp1 = jax.lax.cond(
             do_fetch,
             fetch_and_resolve,
-            lambda: (t, px, py, pz, s["nx"], s["ny"], s["nz"],
+            lambda: (t, px, py, pz, s_nx, s_ny, s_nz,
                      jnp.zeros_like(px), jnp.zeros_like(px), jnp.int32(0)),
         )
 
@@ -344,27 +368,62 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         w3 = _gather_words(dist3_ref, c3 >> 3, n_dist3_words)
         d3 = (w3 >> ((c3 & 7) * 4)) & 15
 
+        # Candidate A: distance-field cube (radius d3-1 of 8³ blocks), or
+        # the current 4³ cell when d3 == 0.
         skip = d3 >= 1
         rad = (d3 - 1).astype(jnp.int32)
-        lox = jnp.where(skip, (c3x - rad) << 3, (px >> 2) << 2).astype(jnp.float32)
-        loy = jnp.where(skip, (c3y - rad) << 3, (py >> 2) << 2).astype(jnp.float32)
-        loz = jnp.where(skip, (c3z - rad) << 3, (pz >> 2) << 2).astype(jnp.float32)
-        ext = jnp.where(skip, (2 * rad + 1) << 3, 4).astype(jnp.float32)
+        loxA = jnp.where(skip, (c3x - rad) << 3, (px >> 2) << 2).astype(jnp.float32)
+        loyA = jnp.where(skip, (c3y - rad) << 3, (py >> 2) << 2).astype(jnp.float32)
+        lozA = jnp.where(skip, (c3z - rad) << 3, (pz >> 2) << 2).astype(jnp.float32)
+        extA = jnp.where(skip, (2 * rad + 1) << 3, 4).astype(jnp.float32)
 
-        # watertight advance to the box exit (raytracer.py:124-147 scheme)
-        fx = ox + dx * t - lox
-        fy = oy + dy * t - loy
-        fz = oz + dz * t - loz
-        dxx = jnp.where(dx > 0.0, ext - fx, fx)
-        dyy = jnp.where(dy > 0.0, ext - fy, fy)
-        dzz = jnp.where(dz > 0.0, ext - fz, fz)
-        txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
-        tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
-        tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
-        mint = jnp.maximum(jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
-        ex = jnp.clip(jnp.floor(fx + mint * dx), 0.0, ext - 1.0)
-        ey = jnp.clip(jnp.floor(fy + mint * dy), 0.0, ext - 1.0)
-        ez = jnp.clip(jnp.floor(fz + mint * dz), 0.0, ext - 1.0)
+        # Candidate B: the LOD2 word already gathered for the occupancy test
+        # covers a full X-row of 32 cells (res×4×4 voxels at one (cy, cz));
+        # w2 == 0 certifies that whole slab empty. Free long-range skip for
+        # X-dominant rays — no extra gather.
+        validB = w2 == 0
+        loyB = ((py >> 2) << 2).astype(jnp.float32)
+        lozB = ((pz >> 2) << 2).astype(jnp.float32)
+
+        def box_exit(lox_, loy_, loz_, extx_, exty_, extz_):
+            # watertight advance to the box exit (raytracer.py:124-147)
+            fx = ox + dx * t - lox_
+            fy = oy + dy * t - loy_
+            fz = oz + dz * t - loz_
+            dxx = jnp.where(dx > 0.0, extx_ - fx, fx)
+            dyy = jnp.where(dy > 0.0, exty_ - fy, fy)
+            dzz = jnp.where(dz > 0.0, extz_ - fz, fz)
+            txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
+            tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
+            tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
+            mint = jnp.maximum(jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
+            return fx, fy, fz, txx, tyy, tzz, mint
+
+        fxA, fyA, fzA, txxA, tyyA, tzzA, mintA = box_exit(
+            loxA, loyA, lozA, extA, extA, extA)
+        fxB, fyB, fzB, txxB, tyyB, tzzB, mintB = box_exit(
+            jnp.float32(0.0), loyB, lozB, fres, jnp.float32(4.0),
+            jnp.float32(4.0))
+
+        # Both boxes contain the current position, so the ray may jump to
+        # whichever exit is farther.
+        useB = validB & (mintB > mintA)
+        lox = jnp.where(useB, 0.0, loxA)
+        loy = jnp.where(useB, loyB, loyA)
+        loz = jnp.where(useB, lozB, lozA)
+        extx = jnp.where(useB, fres, extA)
+        exty = jnp.where(useB, 4.0, extA)
+        extz = jnp.where(useB, 4.0, extA)
+        fx = jnp.where(useB, fxB, fxA)
+        fy = jnp.where(useB, fyB, fyA)
+        fz = jnp.where(useB, fzB, fzA)
+        txx = jnp.where(useB, txxB, txxA)
+        tyy = jnp.where(useB, tyyB, tyyA)
+        tzz = jnp.where(useB, tzzB, tzzA)
+        mint = jnp.where(useB, mintB, mintA)
+        ex = jnp.clip(jnp.floor(fx + mint * dx), 0.0, extx - 1.0)
+        ey = jnp.clip(jnp.floor(fy + mint * dy), 0.0, exty - 1.0)
+        ez = jnp.clip(jnp.floor(fz + mint * dz), 0.0, extz - 1.0)
         anx = (txx == mint).astype(jnp.float32) * sx
         any_ = (tyy == mint).astype(jnp.float32) * sy
         anz = (tzz == mint).astype(jnp.float32) * sz
@@ -377,61 +436,72 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
 
         out = dict(s)
         out["t"] = jnp.where(miss, BIG, jnp.where(march, nat, t1))
-        out["px"] = jnp.where(march, napx, px1)
-        out["py"] = jnp.where(march, napy, py1)
-        out["pz"] = jnp.where(march, napz, pz1)
-        if not any_hit:
-            out["nx"] = jnp.where(march, anx, nx1)
-            out["ny"] = jnp.where(march, any_, ny1)
-            out["nz"] = jnp.where(march, anz, nz1)
-        out["adv"] = s["adv"] + march.astype(jnp.int32) + steps1
+        o_px = jnp.where(march, napx, px1)
+        o_py = jnp.where(march, napy, py1)
+        o_pz = jnp.where(march, napz, pz1)
+        if any_hit:
+            o_nx, o_ny, o_nz = s_nx, s_ny, s_nz
+        else:
+            o_nx = jnp.where(march, anx, nx1)
+            o_ny = jnp.where(march, any_, ny1)
+            o_nz = jnp.where(march, anz, nz1)
+        out["word"] = pack_word(o_px, o_py, o_pz, o_nx, o_ny, o_nz)
+        o_adv = s_adv + march.astype(jnp.int32) + steps1
         out["n_live"] = (key0 != BIGI).astype(jnp.int32)
         out["n_fetch"] = s["n_fetch"] + do_fetch.astype(jnp.int32)
         out["n_grp"] = s["n_grp"] + ngrp1
-        out["hit"] = s["hit"] | hit1
-        exhausted = live & (out["adv"] >= max_advances)
-        out["exh"] = s["exh"] | (exhausted & (hit1 == 0)).astype(jnp.int32)
-        out["active"] = (live & (hit1 == 0) & ~exhausted).astype(jnp.int32)
+        o_hit = s_hit | hit1
+        exhausted = live & (o_adv >= max_advances)
+        o_exh = s_exh | (exhausted & (hit1 == 0)).astype(jnp.int32)
+        o_active = (live & (hit1 == 0) & ~exhausted).astype(jnp.int32)
+        out["af"] = (
+            o_adv | (o_active << 16) | (o_hit << 17) | (o_exh << 18)
+        )
         out["total"] = s["total"] + 1
         return out
 
     s = jax.lax.while_loop(cond, body, state)
+    f_px, f_py, f_pz, f_nx, f_ny, f_nz = unpack_word(s["word"])
+    f_adv = s["af"] & 0xFFFF
+    f_active = (s["af"] >> 16) & 1
+    f_hit = (s["af"] >> 17) & 1
+    f_exh = (s["af"] >> 18) & 1
 
     if any_hit:
-        nx = ny = nz = jnp.zeros(s["nx"].shape, jnp.float32)
+        nx = ny = nz = jnp.zeros(f_nx.shape, jnp.float32)
     else:
         # normal flip toward the ray (raytracer.py:151-153)
-        ndot = dx * s["nx"] + dy * s["ny"] + dz * s["nz"]
+        ndot = dx * f_nx + dy * f_ny + dz * f_nz
         flip = ndot > 0.0
-        nx = jnp.where(flip, -s["nx"], s["nx"])
-        ny = jnp.where(flip, -s["ny"], s["ny"])
-        nz = jnp.where(flip, -s["nz"], s["nz"])
+        nx = jnp.where(flip, -f_nx, f_nx)
+        ny = jnp.where(flip, -f_ny, f_ny)
+        nz = jnp.where(flip, -f_nz, f_nz)
 
     t_ref[0] = jnp.where(s["t"] >= BIG, jnp.float32(np.inf), s["t"])
-    ix_ref[0] = jnp.where(alive0, s["px"], -1)
-    iy_ref[0] = jnp.where(alive0, s["py"], -1)
-    iz_ref[0] = jnp.where(alive0, s["pz"], -1)
+    ix_ref[0] = jnp.where(alive0, f_px, -1)
+    iy_ref[0] = jnp.where(alive0, f_py, -1)
+    iz_ref[0] = jnp.where(alive0, f_pz, -1)
     nx_ref[0] = nx
     ny_ref[0] = ny
     nz_ref[0] = nz
     if debug_totals:
         it_ref[0] = jnp.broadcast_to(
             s["total"] + (s["n_fetch"] << 10) + (s["n_grp"] << 20),
-            s["adv"].shape,
+            f_adv.shape,
         )
     else:
-        it_ref[0] = s["adv"]
+        it_ref[0] = f_adv
     # Unfinished rays (advance budget or iteration cap hit before a
     # hit/miss verdict) — the two-phase caller compacts and resumes these.
-    act_ref[0] = s["active"] | s["exh"]
+    act_ref[0] = f_active | f_exh
 
     # --- hit color fetch (skipped for shadow rays) --------------------------
     if fetch_colors:
-        px, py, pz = s["px"], s["py"], s["pz"]
+        px, py, pz = f_px, f_py, f_pz
         mcell = _morton3(px >> 2, py >> 2, pz >> 2)
         local = ((pz & 3) * 4 + (py & 3)) * 4 + (px & 3)
         word_idx = mcell * 64 + local
-        hit = s["hit"] != 0
+        hit = f_hit != 0
         slab_id = word_idx >> 10  # one (8,128) slab = 16 cells' colors
         BIGI = jnp.int32(0x7FFFFFFF)
 
@@ -459,7 +529,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         )
         col_ref[0] = col
     else:
-        col_ref[0] = jnp.zeros(s["px"].shape, jnp.int32)
+        col_ref[0] = jnp.zeros(f_px.shape, jnp.int32)
 
 
 class PallasTraceResult(NamedTuple):
