@@ -61,15 +61,16 @@ def main():
                        "dt": 0.02})
     frames += [{"dt": 0.02}] * max(4, args.frames // 4)
 
-    times = []
-    t_last = [time.perf_counter()]
+    # FrameStats (single-element sync per frame) rather than an on_frame
+    # image callback: fetch_image device_gets the full frame through the
+    # tunnel (~2.6 MB at 720p ≈ 500+ ms), which would swamp the render time
+    # being measured. The viewer's real per-frame fetch cost is a display
+    # transport property, not a renderer one.
+    from voxelrt.utils.profiling import FrameStats
 
-    def on_frame(i, img):
-        now = time.perf_counter()
-        times.append(now - t_last[0])
-        t_last[0] = now
-
-    img = scene.run_frames(frames, spp_per_frame=1, on_frame=on_frame)
+    stats = FrameStats(out=open(os.devnull, "w"))
+    img = scene.run_frames(frames, spp_per_frame=1, stats=stats)
+    times = [row["wall_ms"] / 1e3 for row in stats.rows]
     if args.out:
         from voxelrt.utils.image import write_png
 

@@ -120,6 +120,14 @@ class RenderConfig:
     cloud_shadow_steps: int = 8
     cloud_accum_passes: int = 32
 
+    # Reprojected-history tap kernel while the camera moves: 'bilinear'
+    # (2×2) or 'catmullrom' (the reference's 4×4,
+    # renderer/pathtracer.py:1092-1183). Each tap costs a full-image XLA
+    # gather on TPU, and motion history is transient (capped at 50, reset on
+    # stop), so bilinear is the default; converged still images are
+    # identical either way.
+    motion_filter: str = "bilinear"
+
     # Number of path samples traced per accumulate() call per pixel.
     samples_per_launch: int = 1
 

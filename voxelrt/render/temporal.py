@@ -110,10 +110,16 @@ def reproject(world_pos, prev_view, prev_proj):
 def _history_filter(cfg, history, prev_depth, prev_normals, uv, center_depth,
                     center_normal, proj_inv, render_scale, moving,
                     gate_depth=True, extra=None):
-    """Catmull-Rom 4×4 history fetch with validity gating
+    """Reprojected history fetch with validity gating
     (renderer/pathtracer.py:1092-1183). ``extra`` optionally filters a second
     scalar buffer (specular reflection depth history) alongside.
-    Returns (w_sum, filtered_color4, filtered_extra)."""
+    Returns (w_sum, filtered_color4, filtered_extra).
+
+    Tap kernel: the reference uses a Catmull-Rom 4×4; on TPU each tap is a
+    full-image XLA gather (~0.1 G elem/s, PERF_NOTES.md), so the default
+    ``cfg.motion_filter='bilinear'`` uses the 2×2 footprint — motion-phase
+    history only (the history cap is 50 and resets on stop, so converged
+    stills are identical). Set 'catmullrom' for exact reference filtering."""
     w, h = cfg.image_res
     ires_x = int(w * render_scale)
     ires_y = int(h * render_scale)
@@ -124,6 +130,15 @@ def _history_filter(cfg, history, prev_depth, prev_normals, uv, center_depth,
     fx = fcoord_x - ix
     fy = fcoord_y - iy
 
+    if cfg.motion_filter == "bilinear":
+        tap_range = range(0, 2)
+        tap_w = (lambda o: jnp.maximum(1.0 - jnp.abs(o - fx), 0.0),
+                 lambda o: jnp.maximum(1.0 - jnp.abs(o - fy), 0.0))
+    else:
+        tap_range = range(-1, 3)
+        tap_w = (lambda o: _catmullrom(jnp.abs(o - fx)),
+                 lambda o: _catmullrom(jnp.abs(o - fy)))
+
     col_sum = jnp.zeros(uv.shape[:-1] + (4,), jnp.float32)
     col_min = jnp.full(uv.shape[:-1] + (4,), 999999.0, jnp.float32)
     col_max = jnp.zeros(uv.shape[:-1] + (4,), jnp.float32)
@@ -132,12 +147,12 @@ def _history_filter(cfg, history, prev_depth, prev_normals, uv, center_depth,
     d_max = jnp.zeros(uv.shape[:-1], jnp.float32)
     w_sum = jnp.zeros(uv.shape[:-1], jnp.float32)
 
-    for ox in range(-1, 3):
-        for oy in range(-1, 3):
+    for ox in tap_range:
+        for oy in tap_range:
             tx = ix + ox
             ty = iy + oy
             in_bounds = (tx >= 0) & (tx < ires_x) & (ty >= 0) & (ty < ires_y)
-            wgt = _catmullrom(jnp.abs(ox - fx)) * _catmullrom(jnp.abs(oy - fy))
+            wgt = tap_w[0](ox) * tap_w[1](oy)
             if moving:
                 tap_normal = packing.decode_unit_vector_3x16(
                     _gather2d(prev_normals, tx, ty)

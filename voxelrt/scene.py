@@ -154,7 +154,7 @@ class Scene:
                 print(f"Image written to {out_path}")
         return img
 
-    def run_frames(self, frames, spp_per_frame=1, on_frame=None):
+    def run_frames(self, frames, spp_per_frame=1, on_frame=None, stats=None):
         """Interactive-equivalent loop with a scripted camera path
         (replaces the GGUI while-loop, scene.py:206-297).
 
@@ -166,4 +166,4 @@ class Scene:
         r = self.renderer
         r.prepare_data()
         return r.run_frames(frames, spp_per_frame=spp_per_frame,
-                            on_frame=on_frame)
+                            on_frame=on_frame, stats=stats)

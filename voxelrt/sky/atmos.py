@@ -705,7 +705,11 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
     """Stages A+B+C (renderer/pathtracer.py:314-323, scene.py:199-253) in one
     deterministic, disk-cached precompute."""
     def _packed(sky: SkyData) -> SkyData:
-        if not cfg.use_pallas_dda:
+        # The Pallas fetch kernel keeps one packed map resident in VMEM:
+        # res² × 2 u32 words. Past ~1280² that exceeds the 16 MB scoped
+        # VMEM budget (measured OOM at 2048²), so larger skyboxes fall back
+        # to the XLA gather path (packed_* = None ⇒ _use_texfetch False).
+        if not cfg.use_pallas_dda or cfg.skybox_res > 1280:
             return sky
         from voxelrt.ops.texfetch import pack_rgb_bf16
 
