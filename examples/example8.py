@@ -47,7 +47,9 @@ def create_wave(pos, radius, color, portion, flipped):
     r2 = rng.random(len(idx))
 
     crest = (theta >= 0) & (theta < portion) & (np.abs(norm - 0.95) < 0.05 + 0.05 * r1)
-    foam = crest & (1 - r2**2 < theta / portion - 0.1)
+    # portion == 0 makes crest empty; avoid the div-by-zero NaN/inf mask
+    ratio = theta / portion if portion != 0 else np.full_like(theta, -np.inf)
+    foam = crest & (1 - r2**2 < ratio - 0.1)
     body = (theta <= 0) & (theta >= -1) & (norm > 0.9 - 0.05 * r1)
 
     p = np.asarray(pos)

@@ -62,11 +62,6 @@ def main():
     ap.add_argument("--phase1", type=int, default=0,
                     help="two-phase traversal phase-1 advance budget "
                          "(sorted benches only; 0 = single phase)")
-    ap.add_argument("--groupwords", type=int, default=1024,
-                    help="mask-scan group size in cells (power of two)")
-    ap.add_argument("--probe", type=int, default=0,
-                    help="kernel perf probe (WRONG RESULTS): 1=pin mask "
-                         "slab slice, 2=skip mask gathers; bounce bench only")
     ap.add_argument("--sorted", action="store_true")
     ap.add_argument("--debug", action="store_true",
                     help="per-block traversal profile (debug_totals kernel): "
@@ -167,9 +162,10 @@ def main():
     d_rnd = rng.normal(size=(m, 3)).astype(np.float32)
     d_rnd /= np.linalg.norm(d_rnd, axis=1, keepdims=True)
 
-    def bench(name, o, d, any_hit, cadence=2):
+    def bench(name, o, d, any_hit, cadence=2, colors=None):
         o = jnp.asarray(o)
         d = jnp.asarray(d)
+        fetch_c = (not any_hit) if colors is None else colors
 
         @functools.partial(jax.jit, static_argnames=("reps",))
         def run(o, d, reps: int):
@@ -177,11 +173,9 @@ def main():
                 oo = o.at[:, 1].add(i.astype(jnp.float32) * 1e-5)
                 r = raytrace_pallas(
                     tables, oo, d, 1e-6, jnp.inf, res,
-                    fetch_colors=not any_hit, any_hit=any_hit,
+                    fetch_colors=fetch_c, any_hit=any_hit,
                     fetch_cadence=cadence, interpret=args.interpret,
                     block_rows=args.rows,
-                    mask_group_words=args.groupwords,
-                    perf_probe=args.probe,
                 )
                 return acc + jnp.sum(jnp.isfinite(r.distance)) + jnp.sum(r.iters)
 
@@ -208,8 +202,7 @@ def main():
 
         cfg = RenderConfig(grid_res=res, use_pallas_dda=True,
                            dda_block_rows=args.rows,
-                           dda_phase1_advances=args.phase1,
-                           dda_mask_group_words=args.groupwords)
+                           dda_phase1_advances=args.phase1)
         o = jnp.asarray(o); d = jnp.asarray(d)
         mk = jnp.asarray(mask)
 
@@ -253,21 +246,20 @@ def main():
                 tables, jnp.asarray(o), jnp.asarray(d), 1e-6, jnp.inf, res,
                 fetch_colors=not any_hit, any_hit=any_hit,
                 interpret=args.interpret, block_rows=args.rows,
-                mask_group_words=args.groupwords, debug_totals=True,
+                debug_totals=True,
             )
             enc = np.asarray(jax.device_get(r.iters))
             blocks = enc.reshape(-1, args.rows * 128)[:, 0]
             total = blocks & 1023
             nfetch = (blocks >> 10) & 1023
-            ngrp = blocks >> 20
-            gpf = ngrp / np.maximum(nfetch, 1)
+            nslab = blocks >> 20
             def q(x):
                 return (f"mean {x.mean():7.1f}  p50 {np.percentile(x, 50):5.0f}"
                         f"  p90 {np.percentile(x, 90):5.0f}  max {x.max():5.0f}")
             print(f"{name}: {len(blocks)} blocks")
             print(f"  loop iters   {q(total)}")
             print(f"  fetch rounds {q(nfetch)}")
-            print(f"  groups/fetch {q(gpf)}")
+            print(f"  color slabs  {q(nslab)}")
 
         debug("primary (tile order)", o_pri, d_pri, False)
         debug("bounce (tile order)", hp, d_bnc, False)
@@ -284,13 +276,10 @@ def main():
                      np.ones(m, bool))
     for cad in args.cadence:
         print(f"--- fetch_cadence={cad}")
-        if args.probe:
-            results["bounce"] = bench("bounce", hp.astype(np.float32), d_bnc,
-                                      False, cad)
-            print({k: round(v, 1) for k, v in results.items()})
-            continue
         results["primary"] = bench("primary", o_pri, d_pri, False, cad)
         results["bounce"] = bench("bounce", hp.astype(np.float32), d_bnc, False, cad)
+        results["bounce_nocol"] = bench("bounce_nocol", hp.astype(np.float32),
+                                        d_bnc, False, cad, colors=False)
         results["shadow_anyhit"] = bench("shadow_anyhit", hp.astype(np.float32), d_sh, True, cad)
         results["random"] = bench("random", o_rnd, d_rnd, False, cad)
         print({k: round(v, 1) for k, v in results.items()})

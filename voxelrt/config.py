@@ -82,13 +82,9 @@ class RenderConfig:
     # sets (tests/conftest.py pins 8).
     dda_block_rows: int = int(os.environ.get("VOXELRT_DDA_BLOCK_ROWS", "24"))
 
-    # Cells per mask-scan group in the traversal kernel (power of two,
-    # >= 128). The per-block debug profile (tools/trace_bench.py --debug)
-    # showed sorted-bounce blocks spend ~65% of their time scanning mask
-    # groups (4.2 distinct 1024-cell groups per fetch round x 16 roll-gather
-    # rounds each); smaller groups cost proportionally fewer rounds per scan
-    # while morton-sorted blocks touch only slightly more of them.
-    dda_mask_group_words: int = 1024
+    # (The v4 kernel's dda_mask_group_words knob is gone: the v5 kernel's
+    # mask fetch is one full static scan over the rank-compressed mixed-cell
+    # table — see ops/accel.py — with no grouping machinery to tune.)
 
     # Vignette (renderer/pathtracer.py:32-34).
     vignette_strength: float = 0.9

@@ -3,9 +3,9 @@
 Same traversal semantics as voxelrt.ops.dda (itself derived from
 renderer/raytracer.py:72-155) but engineered for the TPU memory system —
 XLA's native gather runs at ~0.1 G/s, 300× too slow for the DDA inner loop
-(PERF_NOTES.md). Design (v4):
+(PERF_NOTES.md). Design (v5):
 
-  * the whole march runs inside one kernel; rays processed in (8, 128)
+  * the whole march runs inside one kernel; rays processed in (rows, 128)
     lock-step blocks, occupancy tables resident in VMEM;
   * empty space is crossed with a 4-bit chebyshev DISTANCE FIELD over 8³
     cells (ops.accel.dist3_words): a value d ≥ 1 certifies the radius-(d-1)
@@ -13,18 +13,28 @@ XLA's native gather runs at ~0.1 G/s, 300× too slow for the DDA inner loop
     replacing the reference's LOD3..LOD6 pyramid descent/ascent
     (renderer/raytracer.py:110-147) with a single query + skip;
   * LOD2 occupancy (one bit per 4³ cell, 1024 u32 words at 128³) is gathered
-    with the "roll trick": 8 × (static row slice → broadcast → lane shuffle
-    → select) ≈ 1 cycle/vreg lane shuffle;
-  * on entering an occupied 4³ cell the ray fetches the cell's 64-bit voxel
-    mask and RESOLVES THE WHOLE CELL in registers in that same iteration: an
-    unrolled ≤10-step single-voxel DDA over the mask (pure ALU, no memory) —
-    the v3 kernel spent one full gather-laden outer iteration per voxel;
-  * mask fetches and the hit color fetch run as range-limited scans over the
-    VMEM tables, skipping vreg groups no ray in the block needs — the 16×8
-    screen-tile ray order (render/pipeline.py) keeps those ranges tight;
+    with the "roll trick": 8 × (static row broadcast → lane shuffle →
+    select) ≈ 1 cycle/vreg lane shuffle;
+  * voxel masks are RANK-COMPRESSED (ops.accel): only MIXED (partially
+    occupied) cells store a 64-bit mask, indexed by a prefix-popcount rank.
+    Real scenes have only a few thousand mixed cells, so a mask fetch is one
+    short FULL static scan over ceil(n_mixed/128) vreg rows — no dynamic
+    sublane slices, no per-group scalar reductions (the v4 morton-grouped
+    scan machinery measured ~65% of sorted-bounce kernel time and scaled
+    with wavefront incoherence; the static scan's cost is scene-static);
+  * fully-SOLID cells (all 64 voxels set — interiors, ground slabs) are a
+    bit table: the fetch overrides their mask with all-ones, so the in-cell
+    DDA hits the entry voxel at step 0 and no compressed-table row is spent
+    on them (example6: 3600 of 6297 occupied cells are solid);
+  * on entering an occupied 4³ cell the ray RESOLVES THE WHOLE CELL in
+    registers in that same iteration: an unrolled ≤10-step single-voxel DDA
+    over the fetched mask (pure ALU, no memory);
   * fetch rounds are adaptively deferred so rays reaching occupied cells on
     adjacent iterations share one scan;
-  * shadow rays run in ``any_hit`` mode: no normal tracking, no color fetch.
+  * shadow rays run in ``any_hit`` mode: no normal tracking, no color fetch;
+  * the hit color fetch reads a MORTON-rank-compressed color table (occupied
+    cells only, ordered by morton code so a 3-D-local hit set maps to few
+    slabs) with a min-reduce slab scan (once per trace, not per iteration).
 
 Outputs match ops.dda.raytrace: (distance, ipos, normal, iters) plus the hit
 voxel's packed color word (so shading needs no separate gather).
@@ -74,6 +84,15 @@ def _morton3(x, y, z):
     return _part1by2(x) | (_part1by2(y) << 1) | (_part1by2(z) << 2)
 
 
+def _popcount32(v):
+    """Branch-free 32-bit popcount (Mosaic-safe: shifts are arithmetic on
+    i32 but every shift is masked)."""
+    v = v - ((v >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    return ((v * 0x01010101) >> 24) & 63
+
+
 def _gather_words(table_ref, word_idx, n_words):
     """Gather u32 words from a small VMEM table by absolute index
     [0, n_words); costs ceil(n_words/128) lane-shuffle rounds."""
@@ -88,10 +107,32 @@ def _gather_words(table_ref, word_idx, n_words):
     return out
 
 
+def _gather_words2(ref_a, ref_b, word_idx, n_words):
+    """Gather the same index from two parallel tables in one scan (shares
+    the lane/row index math and the per-row select mask)."""
+    rounds = -(-n_words // LANES)
+    lane = word_idx & 127
+    row_id = word_idx >> 7
+    out_a = jnp.zeros_like(word_idx)
+    out_b = jnp.zeros_like(word_idx)
+    for k in range(rounds):
+        row_a = jnp.broadcast_to(ref_a[k : k + 1, :], word_idx.shape)
+        row_b = jnp.broadcast_to(ref_b[k : k + 1, :], word_idx.shape)
+        ga = jnp.take_along_axis(row_a, lane, axis=1)
+        gb = jnp.take_along_axis(row_b, lane, axis=1)
+        if rounds > 1:
+            sel = row_id == k
+            out_a = jnp.where(sel, ga, out_a)
+            out_b = jnp.where(sel, gb, out_b)
+        else:
+            out_a, out_b = ga, gb
+    return out_a, out_b
+
+
 def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
-                     n_lod2_words, n_dist3_words, fetch_cadence=2,
-                     slow_after=48, debug_totals=False, resume=False,
-                     mask_group_words=1024, perf_probe=0):
+                     n_lod2_words, n_dist3_words, n_mixed_rows,
+                     fetch_cadence=2, slow_after=48, debug_totals=False,
+                     resume=False):
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      tmin_ref, tmax_ref) = refs[:8]
     if resume:
@@ -102,10 +143,10 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         tbl0 = 12
     else:
         tbl0 = 8
-    (lod2_ref, dist3_ref, masks_lo_ref, masks_hi_ref,
-     colors_ref) = refs[tbl0 : tbl0 + 5]
+    (lod2_ref, solid_ref, dist3_ref, rankb_ref, occm_ref, occb_ref,
+     mlo_ref, mhi_ref, colors_ref) = refs[tbl0 : tbl0 + 9]
     (t_ref, ix_ref, iy_ref, iz_ref,
-     nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 5 :]
+     nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 9 :]
     res = grid_res
     r2 = res // 4
     fres = float(res)
@@ -233,70 +274,36 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         live = active & ~miss
 
         cell = ((pz >> 2) * r2 + (py >> 2)) * r2 + (px >> 2)
-        w2 = _gather_words(lod2_ref, cell >> 5, n_lod2_words)
-        occ2 = ((w2 >> (cell & 31)) & 1) != 0
+        cw = cell >> 5
+        cb = cell & 31
+        w2 = _gather_words(lod2_ref, cw, n_lod2_words)
+        occ2 = ((w2 >> cb) & 1) != 0
         at_occ = live & occ2
+
+        # ONE packed max-reduce answers both questions (scalar-producing
+        # reductions cost ~130 ns): 0 ⇒ no live rays (loop can stop),
+        # 2 ⇒ some live ray is at an occupied cell (a fetch is wanted).
+        m = jnp.max(live.astype(jnp.int32) + at_occ.astype(jnp.int32))
+        do_fetch = (m >= 2) & (
+            (s["total"] % fetch_cadence == 0) | (s["total"] >= slow_after)
+        )
 
         # --- fetch + whole-cell resolve for rays at occupied cells --------
         # Deferred batching: fetch rounds run every ``fetch_cadence``-th
         # iteration so rays arriving at occupied cells on adjacent iterations
-        # share one round; waiting rays simply stall (they cannot advance
-        # while occupied). Mask tables are MORTON cell-ordered so a block's
-        # 3-D-local working set is a handful of distinct slab groups.
-        mcell = _morton3(px >> 2, py >> 2, pz >> 2)
-        # mask_group_words cells per scan group (a morton-contiguous voxel
-        # region); smaller groups cost proportionally fewer roll rounds per
-        # scan while sorted blocks touch only slightly more of them.
-        grp_shift = mask_group_words.bit_length() - 1
-        grp_rows = mask_group_words // LANES
-        grp = mcell >> grp_shift
-        # ONE packed min-reduce answers three questions (scalar-producing
-        # reductions cost ~130 ns each): BIGI ⇒ no live rays (loop can stop),
-        # NOFETCH ⇒ live rays but none at an occupied cell, < NOFETCH ⇒ the
-        # lowest wanted mask group.
-        NOFETCH = jnp.int32(0x40000000)
-        BIGI = jnp.int32(0x7FFFFFFF)
-        key0 = jnp.min(
-            jnp.where(at_occ, grp, jnp.where(live, NOFETCH, BIGI))
-        )
-        do_fetch = (key0 < NOFETCH) & (
-            (s["total"] % fetch_cadence == 0) | (s["total"] >= slow_after)
-        )
-        widx = mcell & (mask_group_words - 1)  # word index in the group slab
-
+        # share one scan; waiting rays simply stall (they cannot advance
+        # while occupied). The mask table holds MIXED cells only, indexed by
+        # prefix-popcount rank; solid cells read an implicit all-ones mask.
         def fetch_and_resolve():
-            # Iterate DISTINCT groups via a min-reduce loop; the min doubles
-            # as the done test so each group costs one reduce + one fetch.
-            def fcond(c):
-                return c[2] < NOFETCH
-
-            def fbody(c):
-                lo, hi, g, remaining, ng = c
-                wanted = (remaining != 0) & (grp == g)
-                # perf_probe (WRONG RESULTS, timing only): 1 = pin the
-                # dynamic sublane slice to row 0; 2 = skip the roll gathers.
-                row0 = g * grp_rows if perf_probe != 1 else 0
-                if perf_probe == 2:
-                    glo = widx
-                    ghi = widx
-                else:
-                    glo = _gather_1024(
-                        masks_lo_ref[pl.ds(row0, grp_rows), :], widx,
-                        grp_rows)
-                    ghi = _gather_1024(
-                        masks_hi_ref[pl.ds(row0, grp_rows), :], widx,
-                        grp_rows)
-                lo = jnp.where(wanted, glo, lo)
-                hi = jnp.where(wanted, ghi, hi)
-                remaining = remaining & ~wanted.astype(jnp.int32)
-                ng2 = jnp.min(jnp.where(remaining != 0, grp, BIGI))
-                return lo, hi, ng2, remaining, ng + 1
-
-            mask_lo, mask_hi, _, _, ngrp = jax.lax.while_loop(
-                fcond, fbody,
-                (jnp.zeros_like(px), jnp.zeros_like(px), key0,
-                 at_occ.astype(jnp.int32), jnp.int32(0)),
+            ws, base = _gather_words2(solid_ref, rankb_ref, cw, n_lod2_words)
+            solid_here = ((ws >> cb) & 1) != 0
+            below = (w2 & ~ws) & ((1 << cb) - 1)
+            rank = base + _popcount32(below)
+            mask_lo, mask_hi = _gather_words2(
+                mlo_ref, mhi_ref, rank, n_mixed_rows * LANES
             )
+            mask_lo = jnp.where(solid_here, jnp.int32(-1), mask_lo)
+            mask_hi = jnp.where(solid_here, jnp.int32(-1), mask_hi)
 
             # In-register single-voxel DDA across the fetched 4³ cell: the
             # entry voxel is tested, then ≤10 watertight unit advances (the
@@ -352,13 +359,13 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                 )
                 moving = moving & ~exited
             return rt, rpx, rpy, rpz, rnx, rny, rnz, \
-                rhit.astype(jnp.int32), steps, ngrp
+                rhit.astype(jnp.int32), steps
 
-        t1, px1, py1, pz1, nx1, ny1, nz1, hit1, steps1, ngrp1 = jax.lax.cond(
+        t1, px1, py1, pz1, nx1, ny1, nz1, hit1, steps1 = jax.lax.cond(
             do_fetch,
             fetch_and_resolve,
             lambda: (t, px, py, pz, s_nx, s_ny, s_nz,
-                     jnp.zeros_like(px), jnp.zeros_like(px), jnp.int32(0)),
+                     jnp.zeros_like(px), jnp.zeros_like(px)),
         )
 
         # --- empty-space march (distance-field skip) -----------------------
@@ -378,7 +385,8 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         extA = jnp.where(skip, (2 * rad + 1) << 3, 4).astype(jnp.float32)
 
         # Candidate B: the LOD2 word already gathered for the occupancy test
-        # covers a full X-row of 32 cells (res×4×4 voxels at one (cy, cz));
+        # covers a full X-row of 32 cells (res×4×4 voxels at one (cy, cz);
+        # soundness requires 32 % r2 == 0, asserted in raytrace_pallas);
         # w2 == 0 certifies that whole slab empty. Free long-range skip for
         # X-dominant rays — no extra gather.
         validB = w2 == 0
@@ -447,9 +455,8 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             o_nz = jnp.where(march, anz, nz1)
         out["word"] = pack_word(o_px, o_py, o_pz, o_nx, o_ny, o_nz)
         o_adv = s_adv + march.astype(jnp.int32) + steps1
-        out["n_live"] = (key0 != BIGI).astype(jnp.int32)
+        out["n_live"] = m
         out["n_fetch"] = s["n_fetch"] + do_fetch.astype(jnp.int32)
-        out["n_grp"] = s["n_grp"] + ngrp1
         o_hit = s_hit | hit1
         exhausted = live & (o_adv >= max_advances)
         o_exh = s_exh | (exhausted & (hit1 == 0)).astype(jnp.int32)
@@ -484,52 +491,61 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
     nx_ref[0] = nx
     ny_ref[0] = ny
     nz_ref[0] = nz
-    if debug_totals:
-        it_ref[0] = jnp.broadcast_to(
-            s["total"] + (s["n_fetch"] << 10) + (s["n_grp"] << 20),
-            f_adv.shape,
-        )
-    else:
-        it_ref[0] = f_adv
     # Unfinished rays (advance budget or iteration cap hit before a
     # hit/miss verdict) — the two-phase caller compacts and resumes these.
     act_ref[0] = f_active | f_exh
 
     # --- hit color fetch (skipped for shadow rays) --------------------------
+    n_color_slabs = 0
     if fetch_colors:
         px, py, pz = f_px, f_py, f_pz
         mcell = _morton3(px >> 2, py >> 2, pz >> 2)
+        mw = mcell >> 5
+        mb = mcell & 31
+        wm, occb = _gather_words2(occm_ref, occb_ref, mw, n_lod2_words)
+        occ_rank = occb + _popcount32(wm & ((1 << mb) - 1))
         local = ((pz & 3) * 4 + (py & 3)) * 4 + (px & 3)
-        word_idx = mcell * 64 + local
+        word_idx = occ_rank * 64 + local
         hit = f_hit != 0
         slab_id = word_idx >> 10  # one (8,128) slab = 16 cells' colors
         BIGI = jnp.int32(0x7FFFFFFF)
 
         # Iterate DISTINCT color slabs via a min-reduce loop (hit cells are
-        # tile-local + morton-ordered, so this is a handful of slabs); the
-        # min doubles as the done test (BIGI ⇒ no lanes remain) so each slab
-        # costs ONE vector reduction.
+        # tile-local + MORTON-rank-compressed — compression only shrinks
+        # morton distances, so a 3-D-local hit set is a handful of slabs);
+        # the min doubles as the done test (BIGI ⇒ no lanes remain) so each
+        # slab costs ONE vector reduction.
         def ccond(c):
             return c[1] != BIGI
 
         def cbody(c):
-            col, sid, remaining = c
+            col, sid, remaining, ns = c
             wanted = (remaining != 0) & (slab_id == sid)
             gv = _gather_1024(colors_ref[pl.ds(sid * 8, 8), :],
                               word_idx & 1023)
             col = jnp.where(wanted, gv, col)
             remaining = remaining & ~wanted.astype(jnp.int32)
             nsid = jnp.min(jnp.where(remaining != 0, slab_id, BIGI))
-            return col, nsid, remaining
+            return col, nsid, remaining, ns + 1
 
         sid0 = jnp.min(jnp.where(hit, slab_id, BIGI))
-        col, _, _ = jax.lax.while_loop(
+        col, _, _, nslab = jax.lax.while_loop(
             ccond, cbody,
-            (jnp.zeros(px.shape, jnp.int32), sid0, hit.astype(jnp.int32)),
+            (jnp.zeros(px.shape, jnp.int32), sid0, hit.astype(jnp.int32),
+             jnp.int32(0)),
         )
         col_ref[0] = col
+        n_color_slabs = nslab
     else:
         col_ref[0] = jnp.zeros(f_px.shape, jnp.int32)
+
+    if debug_totals:
+        it_ref[0] = jnp.broadcast_to(
+            s["total"] + (s["n_fetch"] << 10) + (n_color_slabs << 20),
+            f_adv.shape,
+        )
+    else:
+        it_ref[0] = f_adv
 
 
 class PallasTraceResult(NamedTuple):
@@ -545,7 +561,7 @@ class PallasTraceResult(NamedTuple):
     jax.jit,
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
                      "interpret", "fetch_cadence", "debug_totals",
-                     "block_rows", "mask_group_words", "perf_probe"),
+                     "block_rows"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -553,7 +569,6 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     interpret: bool = False, fetch_cadence: int = 2,
                     debug_totals: bool = False,
                     block_rows: int = SUBLANES,
-                    mask_group_words: int = 1024, perf_probe: int = 0,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
@@ -576,9 +591,10 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     """
     n = origin.shape[0]
     assert block_rows % SUBLANES == 0, block_rows
-    assert (mask_group_words >= LANES
-            and mask_group_words & (mask_group_words - 1) == 0), \
-        mask_group_words
+    # Candidate-B soundness: one LOD2 word must span a full X-row of cells.
+    assert 32 % (grid_res // 4) == 0, grid_res
+    # adv occupies 16 bits of the packed per-ray loop state.
+    assert max_advances + CELL_RESOLVE_STEPS < (1 << 16), max_advances
     block_rays = block_rows * LANES
     pad = (-n) % block_rays
     npad = n + pad
@@ -622,14 +638,17 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     r3 = grid_res // 8
     n_lod2_words = (r2 * r2 * r2 + 31) // 32
     n_dist3_words = (r3 * r3 * r3 + 7) // 8
-    # mask-group bitmap is a single i32 (kernel fetch loop)
-    assert max(r2 * r2 * r2, 1024) // 1024 <= 32, grid_res
 
     lod2 = tables.lod2_words.reshape(-1, LANES).astype(jnp.int32)
+    solid = tables.solid_words.reshape(-1, LANES).astype(jnp.int32)
     dist3 = tables.dist3_words.reshape(-1, LANES).astype(jnp.int32)
-    masks_lo = tables.cell_masks_lo.reshape(-1, LANES).astype(jnp.int32)
-    masks_hi = tables.cell_masks_hi.reshape(-1, LANES).astype(jnp.int32)
+    rankb = tables.rank_base.reshape(-1, LANES).astype(jnp.int32)
+    occm = tables.occ_morton.reshape(-1, LANES).astype(jnp.int32)
+    occb = tables.occ_rank_base.reshape(-1, LANES).astype(jnp.int32)
+    mlo = tables.mixed_lo.reshape(-1, LANES).astype(jnp.int32)
+    mhi = tables.mixed_hi.reshape(-1, LANES).astype(jnp.int32)
     colors = tables.cell_colors.reshape(-1, LANES).astype(jnp.int32)
+    n_mixed_rows = mlo.shape[0]
 
     out_shapes = [jax.ShapeDtypeStruct((nb, block_rows, LANES), dt)
                   for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.int32,
@@ -640,17 +659,18 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         _traverse_kernel, grid_res=grid_res, max_advances=max_advances,
         fetch_colors=fetch_colors, any_hit=any_hit,
         n_lod2_words=n_lod2_words, n_dist3_words=n_dist3_words,
-        fetch_cadence=fetch_cadence, debug_totals=debug_totals,
-        resume=resume, mask_group_words=mask_group_words,
-        perf_probe=perf_probe,
+        n_mixed_rows=n_mixed_rows, fetch_cadence=fetch_cadence,
+        debug_totals=debug_totals, resume=resume,
     )
 
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[ray_spec] * (12 if resume else 8) + [
-            table_spec(lod2.shape[0]), table_spec(dist3.shape[0]),
-            table_spec(masks_lo.shape[0]), table_spec(masks_hi.shape[0]),
+            table_spec(lod2.shape[0]), table_spec(solid.shape[0]),
+            table_spec(dist3.shape[0]), table_spec(rankb.shape[0]),
+            table_spec(occm.shape[0]), table_spec(occb.shape[0]),
+            table_spec(mlo.shape[0]), table_spec(mhi.shape[0]),
             table_spec(colors.shape[0]),
         ],
         out_specs=[ray_spec] * 10,
@@ -659,7 +679,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(*ins, lod2, dist3, masks_lo, masks_hi, colors)
+    )(*ins, lod2, solid, dist3, rankb, occm, occb, mlo, mhi, colors)
 
     t, ix, iy, iz, nx, ny, nz, it, col, act = [
         x.reshape(npad)[:n] for x in outs

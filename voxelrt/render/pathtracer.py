@@ -183,7 +183,6 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
         min(p1, cfg.max_dda_advances) if p1 else cfg.max_dda_advances,
         fetch_colors=not shadow_ray, any_hit=shadow_ray,
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
-        mask_group_words=cfg.dda_mask_group_words,
     )
     if p1 and p1 < cfg.max_dda_advances:
         # Two-phase traversal: phase 1 ran with a small advance budget, so
@@ -193,11 +192,14 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
         # dense geometry, which the morton sort already clusters into few
         # blocks — the rest of the phase-2 blocks are all-dead and exit
         # after the init step (no extra multi-payload sort needed).
+        # Phase 2 gets the REMAINING advance budget (a resumed ray's advance
+        # counter restarts at 0) so the configured traversal bound holds
+        # across both phases.
         tr2 = raytrace_pallas(
-            tables, so, sd, tmin, stmax, cfg.grid_res, cfg.max_dda_advances,
+            tables, so, sd, tmin, stmax, cfg.grid_res,
+            cfg.max_dda_advances - p1,
             fetch_colors=not shadow_ray, any_hit=shadow_ray,
             interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
-            mask_group_words=cfg.dda_mask_group_words,
             resume_state=(tr.distance, tr.normal, tr.active),
         )
         a = tr.active != 0
@@ -280,7 +282,6 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 cfg.max_dda_advances, fetch_colors=not shadow_ray,
                 any_hit=shadow_ray, interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
-                mask_group_words=cfg.dda_mask_group_words,
             )
         color_word = tr.color_word
     else:
