@@ -94,3 +94,126 @@ def test_pallas_empty_and_full():
     assert abs(float(r.distance[0]) - 5.0) < 1e-3
     assert np.array_equal(np.asarray(r.ipos)[0], [0, 8, 8])
     assert np.allclose(np.asarray(r.normal)[0], [-1, 0, 0])
+
+
+def _cone_dirs(rng, light_dir, cone_cos, n):
+    """Uniform directions in the cone of half-angle acos(cone_cos)."""
+    L = np.asarray(light_dir, np.float64)
+    L /= np.linalg.norm(L)
+    cos_t = 1.0 - rng.random(n) * (1.0 - cone_cos)
+    sin_t = np.sqrt(np.maximum(0.0, 1.0 - cos_t**2))
+    phi = rng.random(n) * 2 * np.pi
+    a = np.array([1.0, 0.0, 0.0]) if abs(L[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    t1 = np.cross(L, a)
+    t1 /= np.linalg.norm(t1)
+    t2 = np.cross(L, t1)
+    d = (
+        cos_t[:, None] * L
+        + (sin_t * np.cos(phi))[:, None] * t1
+        + (sin_t * np.sin(phi))[:, None] * t2
+    )
+    return (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+
+
+def make_terrain_setup(res=32, seed=0):
+    """Terrain heightfield + pillars — the shadow-ray geometry class the
+    sun-open table exists for (random fill occupies every 4³ cell)."""
+    rng = np.random.default_rng(seed)
+    world = VoxelWorld(1.0 / res, res, 0.0)
+    mat = np.zeros((res,) * 3, np.int8)
+    h = (4 + 6 * rng.random((res, res))).astype(int)
+    for x in range(res):
+        for z in range(res):
+            mat[x, : h[x, z], z] = 1
+    for _ in range(6):
+        x, z = rng.integers(0, res - 2, 2)
+        mat[x : x + 2, : rng.integers(10, 25), z : z + 2] = 1
+    world.material = mat
+    world.color = rng.integers(0, 255, (res, res, res, 3), dtype=np.uint8)
+    arrays = world.device_arrays()
+    tables = build_pallas_tables(mat, np.asarray(arrays["voxels"]), res)
+    pyr = OccupancyPyramid(arrays["occ_words"], res, int(np.log2(res)))
+    return world, tables, pyr
+
+
+@pytest.mark.parametrize("seed,noise", [(0, 0.1), (2, 0.4)])
+def test_sun_open_certificate_sound(seed, noise):
+    """Every cell certified sun-open must see ONLY misses for rays starting
+    anywhere inside it with any direction in the NEE cone (oracle: the
+    portable DDA)."""
+    from voxelrt.ops.accel import build_sun_open_bits
+
+    res = 32
+    world, tables, pyr = make_terrain_setup(res, seed)
+    rng = np.random.default_rng(seed + 77)
+    light = rng.normal(size=3)
+    light[1] = abs(light[1]) + 0.5  # sun above horizon, like the scenes
+    cone_cos = np.cos(noise * 0.5)
+
+    r2 = res // 4
+    occ_cells = (
+        (world.material != 0)
+        .transpose(2, 1, 0)
+        .reshape(r2, 4, r2, 4, r2, 4)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(r2, r2, r2, 64)
+        .any(axis=-1)
+    )
+    bits = build_sun_open_bits(occ_cells, light, cone_cos)
+    n_open = int(bits.sum())
+    assert n_open > 0, "test scene certified nothing; weaken the fill"
+
+    open_idx = np.argwhere(bits)  # (k, 3) [cz, cy, cx]
+    k = min(64, len(open_idx))
+    sel = open_idx[rng.choice(len(open_idx), k, replace=False)]
+    per = 16
+    origins = []
+    for cz, cy, cx in sel:
+        o = np.stack(
+            [
+                cx * 4 + rng.random(per) * 4,
+                cy * 4 + rng.random(per) * 4,
+                cz * 4 + rng.random(per) * 4,
+            ],
+            axis=1,
+        )
+        origins.append(o)
+    o = np.concatenate(origins).astype(np.float32)
+    d = _cone_dirs(rng, light, cone_cos, len(o))
+    ref = raytrace(pyr, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf)
+    assert not np.isfinite(np.asarray(ref.distance)).any(), (
+        "sun-open certificate violated: a certified cell produced a hit"
+    )
+
+
+def test_sun_open_kernel_matches_plain_shadow():
+    """any_hit traversal with the sun table must classify cone rays exactly
+    like the plain shadow trace (the certificate only short-circuits rays
+    that would miss anyway)."""
+    from voxelrt.ops.accel import add_sun_open_table
+
+    res = 32
+    seed, noise = 4, 0.2
+    world, tables, pyr = make_terrain_setup(res, seed)
+    rng = np.random.default_rng(seed + 5)
+    light = np.array([0.6, 1.0, -0.3])
+    cone_cos = np.cos(noise * 0.5)
+    tables = add_sun_open_table(tables, world.material, light, cone_cos)
+    assert int(np.asarray(tables.sun_open_words).sum()) != 0
+
+    n = 2048
+    o = rng.uniform(0, res, (n, 3)).astype(np.float32)
+    d = _cone_dirs(rng, light, cone_cos, n)
+    plain = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                            np.inf, res, any_hit=True, fetch_colors=False,
+                            interpret=True)
+    fast = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                           np.inf, res, any_hit=True, fetch_colors=False,
+                           use_sun_open=True, interpret=True)
+    hp = np.isfinite(np.asarray(plain.distance))
+    hf = np.isfinite(np.asarray(fast.distance))
+    assert np.array_equal(hp, hf), int((hp != hf).sum())
+    # the table must actually save work on escaping rays
+    assert int(np.asarray(fast.iters)[~hf].sum()) < int(
+        np.asarray(plain.iters)[~hp].sum()
+    )

@@ -69,6 +69,9 @@ def main():
                          "groups scanned — run on the ray classes instead of "
                          "timing them")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sun", action="store_true",
+                    help="bake the sun-open table and bench shadow rays "
+                         "with the use_sun_open early-out")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -154,15 +157,35 @@ def main():
     d_bnc = (local[:, 0:1] * tang + local[:, 1:2] * bit + local[:, 2:3] * nrm)
     d_bnc = (d_bnc / np.linalg.norm(d_bnc, axis=1, keepdims=True)).astype(np.float32)
 
-    sun = np.array([0.45, 0.8, 0.4], np.float32); sun /= np.linalg.norm(sun)
-    d_sh = sun[None] + rng.normal(0, 0.03, (m, 3))
+    if args.scene and args.sun:
+        sun = np.asarray(sc._light_direction, np.float32)
+        cone_cos = float(sc._light_cone_cos_theta_max)
+    else:
+        sun = np.array([0.45, 0.8, 0.4], np.float32)
+        cone_cos = float(np.cos(0.06 * 0.5))
+    sun /= np.linalg.norm(sun)
+    # cone-sampled sun dirs (must stay inside the cone for --sun soundness)
+    ct = 1.0 - rng.random(m) * (1.0 - cone_cos)
+    st = np.sqrt(np.maximum(0.0, 1.0 - ct**2))
+    ph = rng.random(m) * 2 * np.pi
+    t1_ = np.cross(sun, [0.123, 0.91, 0.31]); t1_ /= np.linalg.norm(t1_)
+    t2_ = np.cross(sun, t1_)
+    d_sh = (ct[:, None] * sun + (st * np.cos(ph))[:, None] * t1_
+            + (st * np.sin(ph))[:, None] * t2_)
     d_sh = (d_sh / np.linalg.norm(d_sh, axis=1, keepdims=True)).astype(np.float32)
+    if args.sun:
+        from voxelrt.ops.accel import add_sun_open_table
+
+        tables = add_sun_open_table(tables, mat, sun, cone_cos)
+        nb_open = int(np.unpackbits(
+            np.asarray(tables.sun_open_words).view(np.uint8)).sum())
+        print(f"sun-open cells: {nb_open}")
 
     o_rnd = rng.uniform(2, res - 2, (m, 3)).astype(np.float32)
     d_rnd = rng.normal(size=(m, 3)).astype(np.float32)
     d_rnd /= np.linalg.norm(d_rnd, axis=1, keepdims=True)
 
-    def bench(name, o, d, any_hit, cadence=2, colors=None):
+    def bench(name, o, d, any_hit, cadence=2, colors=None, sun_open=False):
         o = jnp.asarray(o)
         d = jnp.asarray(d)
         fetch_c = (not any_hit) if colors is None else colors
@@ -174,6 +197,7 @@ def main():
                 r = raytrace_pallas(
                     tables, oo, d, 1e-6, jnp.inf, res,
                     fetch_colors=fetch_c, any_hit=any_hit,
+                    use_sun_open=sun_open,
                     fetch_cadence=cadence, interpret=args.interpret,
                     block_rows=args.rows,
                 )
@@ -281,6 +305,10 @@ def main():
         results["bounce_nocol"] = bench("bounce_nocol", hp.astype(np.float32),
                                         d_bnc, False, cad, colors=False)
         results["shadow_anyhit"] = bench("shadow_anyhit", hp.astype(np.float32), d_sh, True, cad)
+        if args.sun:
+            results["shadow_sun"] = bench(
+                "shadow_sun", hp.astype(np.float32), d_sh, True, cad,
+                sun_open=True)
         results["random"] = bench("random", o_rnd, d_rnd, False, cad)
         print({k: round(v, 1) for k, v in results.items()})
 

@@ -76,13 +76,23 @@ class HeadlessRenderer:
             )
         tables = None
         if self.cfg.use_pallas_dda:
-            from voxelrt.ops.accel import build_pallas_tables
+            from voxelrt.ops.accel import add_sun_open_table, build_pallas_tables
 
             tables = build_pallas_tables(
                 self.scene.world.material,
                 np.asarray(jax.device_get(arrays["voxels"])),
                 self.cfg.grid_res,
             )
+            if self.cfg.use_directional_light:
+                # Sun-visibility certificate for NEE shadow rays; the light
+                # direction is a scene constant (scene.py:127,153-154) so
+                # one bake covers the whole render.
+                tables = add_sun_open_table(
+                    tables,
+                    self.scene.world.material,
+                    np.asarray(self.scene._light_direction, np.float64),
+                    float(self.scene._light_cone_cos_theta_max),
+                )
         self.scene_data = SceneData(
             occ_words=arrays["occ_words"],
             voxels=arrays["voxels"],

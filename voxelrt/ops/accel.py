@@ -62,6 +62,7 @@ progressive render).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import numpy as np
@@ -85,6 +86,9 @@ class PallasTables(NamedTuple):
     mixed_lo: "jax.Array"  # u32 (n_mixed padded,) rank order, bits 0-31
     mixed_hi: "jax.Array"  # u32 (n_mixed padded,) rank order, bits 32-63
     cell_colors: "jax.Array"  # u32 (n_occ*64 padded,) morton-rank cell-major
+    sun_open_words: "jax.Array"  # u32 (n2w,) bit = sun cone from this cell
+    # provably escapes the voxel grid (see build_sun_open_bits); all-zero
+    # until add_sun_open_table stamps a light direction
     grid_res: int
 
 
@@ -155,6 +159,93 @@ def chebyshev_distance_field(occ: np.ndarray, cap: int = DIST_CAP) -> np.ndarray
         d[newly] = k
         cur = dil
     return d
+
+
+def build_sun_open_bits(occupied_cells: np.ndarray, light_dir: np.ndarray,
+                        cone_cos: float, max_steps: int = 96) -> np.ndarray:
+    """Per-4³-cell SUN VISIBILITY certificate (TPU-native NEE accelerator;
+    no reference counterpart — the reference traces every shadow ray,
+    renderer/pathtracer.py:435-476).
+
+    Returns bool (r2, r2, r2) [cz][cy][cx]: True certifies that a ray
+    starting ANYWHERE in the cell, in ANY direction within the NEE sample
+    cone (half-angle acos(cone_cos) around ``light_dir``), exits the voxel
+    grid without touching an occupied voxel. The light direction is a
+    per-scene constant (scene.set_directional_light), so the table is baked
+    once and lets the traversal kernel retire most shadow rays the moment
+    they stand in (or march into) a certified cell.
+
+    Certificate: conservative chebyshev sphere-trace in cell units. At axis
+    parameter s, every true cone point lies within chebyshev radius
+    r(s) = 0.5 + k·s of the axis point (0.5 = origin anywhere in the cell,
+    k = 2·sin(θ/2) = max direction deviation per unit s); a point in cell c
+    is ≥ DT[c]−1 from the nearest occupied cell's box (DT = cell chebyshev
+    distance transform), and a point m outside the grid boundary is ≥ m from
+    every occupied cell. Advancing by δ = (F − r(s))/(1+k) keeps the whole
+    segment certified (|axis step|_cheb ≤ δ, cone radius grows k·δ). A cell
+    is open when the trace exits the grid along the dominant light axis with
+    margin > r(s) (that margin then grows at |L_dom| ≥ 1/√3 > k per unit s,
+    so it never closes again); it is NOT open when the margin dies or the
+    step budget runs out — always conservative.
+    """
+    occ = occupied_cells.astype(bool)
+    r2 = occ.shape[0]
+    L = np.asarray(light_dir, np.float64)
+    L = L / np.linalg.norm(L)
+    k = math.sqrt(max(0.0, 2.0 * (1.0 - float(cone_cos))))
+    if k >= 0.5:  # cone too wide for the dominant-axis escape argument
+        return np.zeros(occ.shape, bool)
+    dt = chebyshev_distance_field(occ, cap=r2 + 1).astype(np.float64)
+
+    cz, cy, cx = np.indices(occ.shape, dtype=np.float64)
+    # axis point in cell units, [z][y][x] arrays, vector components (x,y,z)
+    q = np.stack([cx + 0.5, cy + 0.5, cz + 0.5], axis=0).reshape(3, -1)
+    Lv = L.reshape(3, 1)
+    s = np.zeros(q.shape[1])
+    alive = ~occ.reshape(-1)  # only fully-empty cells can be certified
+    open_ = np.zeros(q.shape[1], bool)
+    dom = int(np.argmax(np.abs(L)))
+    dom_sign = 1.0 if L[dom] >= 0 else -1.0
+    eps = 1e-3
+    for _ in range(max_steps):
+        if not alive.any():
+            break
+        p = q + s * Lv
+        r_s = 0.5 + k * s
+        # clearance: inside → DT-1 at the containing cell; outside → margin
+        # beyond the boundary (everything occupied is inside the grid)
+        idx = np.clip(np.floor(p), 0, r2 - 1).astype(np.int64)
+        f_in = dt[idx[2], idx[1], idx[0]] - 1.0
+        m_out = np.maximum(np.maximum.reduce(-p), np.maximum.reduce(p - r2))
+        inside = m_out < 0
+        f = np.where(inside, f_in, np.maximum(m_out, 0.0))
+        # escaped: out along the dominant axis with margin beyond the cone
+        out_dom = dom_sign * p[dom] - (r2 if dom_sign > 0 else 0.0)
+        esc = alive & (out_dom > r_s + eps)
+        open_ |= esc
+        alive &= ~esc
+        margin = f - r_s - eps
+        blocked = alive & (margin <= 0.05)
+        alive &= ~blocked
+        s = np.where(alive, s + margin / (1.0 + k), s)
+    return open_.reshape(occ.shape)
+
+
+def add_sun_open_table(tables: PallasTables, material_xyz: np.ndarray,
+                       light_dir, cone_cos: float) -> PallasTables:
+    """Stamp a light direction's sun-open certificate into the tables."""
+    res = tables.grid_res
+    r2 = res // 4
+    occ = (material_xyz != 0).transpose(2, 1, 0)
+    occ_cells = (
+        occ.reshape(r2, 4, r2, 4, r2, 4)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(r2, r2, r2, 64)
+        .any(axis=-1)
+    )
+    bits = build_sun_open_bits(occ_cells, light_dir, cone_cos)
+    words = _pad_to(_pack_bits(bits.reshape(-1)), 128)
+    return tables._replace(sun_open_words=jnp.asarray(words))
 
 
 def build_pallas_tables(material_xyz: np.ndarray, color_words_zyx: np.ndarray,
@@ -232,5 +323,8 @@ def build_pallas_tables(material_xyz: np.ndarray, color_words_zyx: np.ndarray,
         mixed_lo=jnp.asarray(_pad_to(mixed_lo, 128)),
         mixed_hi=jnp.asarray(_pad_to(mixed_hi, 128)),
         cell_colors=jnp.asarray(_pad_to(colors_occ, 1024)),
+        sun_open_words=jnp.asarray(
+            np.zeros(len(_pad_to(lod2, 128)), np.uint32)
+        ),
         grid_res=res,
     )

@@ -130,7 +130,7 @@ def _gather_words2(ref_a, ref_b, word_idx, n_words):
 
 
 def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
-                     n_lod2_words, n_dist3_words, n_mixed_rows,
+                     use_sun_open, n_lod2_words, n_dist3_words, n_mixed_rows,
                      fetch_cadence=2, slow_after=48, debug_totals=False,
                      resume=False):
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -144,9 +144,9 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
     else:
         tbl0 = 8
     (lod2_ref, solid_ref, dist3_ref, rankb_ref, occm_ref, occb_ref,
-     mlo_ref, mhi_ref, colors_ref) = refs[tbl0 : tbl0 + 9]
+     mlo_ref, mhi_ref, colors_ref, sun_ref) = refs[tbl0 : tbl0 + 10]
     (t_ref, ix_ref, iy_ref, iz_ref,
-     nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 9 :]
+     nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 10 :]
     res = grid_res
     r2 = res // 4
     fres = float(res)
@@ -276,7 +276,17 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         cell = ((pz >> 2) * r2 + (py >> 2)) * r2 + (px >> 2)
         cw = cell >> 5
         cb = cell & 31
-        w2 = _gather_words(lod2_ref, cw, n_lod2_words)
+        if use_sun_open:
+            # Sun-shadow mode: a ray standing in a SUN-OPEN cell provably
+            # escapes (ops.accel.build_sun_open_bits certifies the whole NEE
+            # cone from anywhere in the cell) — retire it as a miss now.
+            # Sharing the LOD2 scan makes the check nearly free.
+            w2, wsun = _gather_words2(lod2_ref, sun_ref, cw, n_lod2_words)
+            sun_esc = ((wsun >> cb) & 1) != 0
+            miss = miss | (live & inb & sun_esc)
+            live = active & ~miss
+        else:
+            w2 = _gather_words(lod2_ref, cw, n_lod2_words)
         occ2 = ((w2 >> cb) & 1) != 0
         at_occ = live & occ2
 
@@ -561,7 +571,7 @@ class PallasTraceResult(NamedTuple):
     jax.jit,
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
                      "interpret", "fetch_cadence", "debug_totals",
-                     "block_rows"),
+                     "block_rows", "use_sun_open"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -569,6 +579,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     interpret: bool = False, fetch_cadence: int = 2,
                     debug_totals: bool = False,
                     block_rows: int = SUBLANES,
+                    use_sun_open: bool = False,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
@@ -648,6 +659,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     mlo = tables.mixed_lo.reshape(-1, LANES).astype(jnp.int32)
     mhi = tables.mixed_hi.reshape(-1, LANES).astype(jnp.int32)
     colors = tables.cell_colors.reshape(-1, LANES).astype(jnp.int32)
+    sun = tables.sun_open_words.reshape(-1, LANES).astype(jnp.int32)
     n_mixed_rows = mlo.shape[0]
 
     out_shapes = [jax.ShapeDtypeStruct((nb, block_rows, LANES), dt)
@@ -658,6 +670,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     kernel = functools.partial(
         _traverse_kernel, grid_res=grid_res, max_advances=max_advances,
         fetch_colors=fetch_colors, any_hit=any_hit,
+        use_sun_open=use_sun_open,
         n_lod2_words=n_lod2_words, n_dist3_words=n_dist3_words,
         n_mixed_rows=n_mixed_rows, fetch_cadence=fetch_cadence,
         debug_totals=debug_totals, resume=resume,
@@ -671,7 +684,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             table_spec(dist3.shape[0]), table_spec(rankb.shape[0]),
             table_spec(occm.shape[0]), table_spec(occb.shape[0]),
             table_spec(mlo.shape[0]), table_spec(mhi.shape[0]),
-            table_spec(colors.shape[0]),
+            table_spec(colors.shape[0]), table_spec(sun.shape[0]),
         ],
         out_specs=[ray_spec] * 10,
         out_shape=out_shapes,
@@ -679,7 +692,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(*ins, lod2, solid, dist3, rankb, occm, occb, mlo, mhi, colors)
+    )(*ins, lod2, solid, dist3, rankb, occm, occb, mlo, mhi, colors, sun)
 
     t, ix, iy, iz, nx, ny, nz, it, col, act = [
         x.reshape(npad)[:n] for x in outs

@@ -144,7 +144,7 @@ class Hit(NamedTuple):
 
 
 def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
-                         shadow_ray: bool):
+                         shadow_ray: bool, sun_shadow: bool = False):
     """Route rays through the Pallas kernel in (alive, origin-cell-morton,
     direction-octant) order, then restore ray order.
 
@@ -182,6 +182,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
         tables, so, sd, tmin, stmax, cfg.grid_res,
         min(p1, cfg.max_dda_advances) if p1 else cfg.max_dda_advances,
         fetch_colors=not shadow_ray, any_hit=shadow_ray,
+        use_sun_open=sun_shadow,
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
     )
     if p1 and p1 < cfg.max_dda_advances:
@@ -199,6 +200,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
             tables, so, sd, tmin, stmax, cfg.grid_res,
             cfg.max_dda_advances - p1,
             fetch_colors=not shadow_ray, any_hit=shadow_ray,
+            use_sun_open=sun_shadow,
             interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
             resume_state=(tr.distance, tr.normal, tr.active),
         )
@@ -232,12 +234,15 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
 
 
 def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
-             coherent: bool = False) -> Hit:
+             coherent: bool = False, sun_shadow: bool = False) -> Hit:
     """Closest hit of floor plane + voxel grid (renderer/pathtracer.py:218-244).
 
     mask: rays to trace; others are skipped inside the traversal loop.
     ``coherent`` marks ray sets already in tight screen-tile order (primary
-    rays), which skip the sorted-routing path.
+    rays), which skip the sorted-routing path. ``sun_shadow`` marks shadow
+    rays sampled within the directional-light NEE cone, enabling the baked
+    sun-visibility early-out (ops.accel.build_sun_open_bits) — only valid
+    for that cone, so ReSTIR revalidation rays must not set it.
     """
     n = pos.shape[0]
     closest = jnp.full((n,), jnp.float32(INF))
@@ -272,7 +277,8 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
     if cfg.use_pallas_dda:
         if cfg.sort_rays and not coherent:
             tr = _trace_voxels_sorted(
-                cfg, scene.tables, eye_scaled, d, EPS, tmax, mask, shadow_ray
+                cfg, scene.tables, eye_scaled, d, EPS, tmax, mask, shadow_ray,
+                sun_shadow=sun_shadow,
             )
         else:
             from voxelrt.ops.dda_pallas import raytrace_pallas
@@ -280,7 +286,8 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
             tr = raytrace_pallas(
                 scene.tables, eye_scaled, d, EPS, tmax, cfg.grid_res,
                 cfg.max_dda_advances, fetch_colors=not shadow_ray,
-                any_hit=shadow_ray, interpret=cfg.pallas_interpret,
+                any_hit=shadow_ray, use_sun_open=sun_shadow,
+                interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
             )
         color_word = tr.color_word
@@ -576,7 +583,7 @@ def trace_sample(cfg, scene, params, key, u, v,
 
             shadow_mask = surf & (ndl > 0.0)
             sh = next_hit(cfg, scene, params, spos, light_dir, shadow_mask,
-                          shadow_ray=True)
+                          shadow_ray=True, sun_shadow=True)
             visible = shadow_mask & ~jnp.isfinite(sh.closest)
             nee_visible = visible.astype(jnp.float32)
 
