@@ -133,3 +133,68 @@ def test_hash3_matches_bit_ops():
                                   jnp.zeros(100, jnp.uint32),
                                   jnp.zeros(100, jnp.uint32)))
     assert len(np.unique(a)) > 95
+
+
+def test_fetch_material_select_chain_matches_onehot():
+    """The static used_ids select chain must be bitwise equal to the one-hot
+    palette matmul for every id in the set."""
+    from voxelrt.materials import MaterialList, fetch_material
+
+    mats = MaterialList()
+    rng = np.random.default_rng(3)
+    used = (0, 1, 2, 54, 82)
+    mid = jnp.asarray(rng.choice(used, 4096).astype(np.int32))
+    alb = jnp.asarray(rng.random((4096, 3), np.float32))
+    ref = fetch_material(mats.params, mid, alb)
+    fast = fetch_material(mats.params, mid, alb, used_ids=used)
+    for a, b in zip(ref, fast):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # base_col path without albedo override
+    ref = fetch_material(mats.params, mid)
+    fast = fetch_material(mats.params, mid, used_ids=used)
+    assert np.array_equal(np.asarray(ref.base_col), np.asarray(fast.base_col))
+
+
+def test_bsdf_feature_specialization_bitwise():
+    """Dropping zero-valued Disney features (MatFeatures) must be bitwise
+    identical to the full lobe stack for materials where they are zero."""
+    from voxelrt.materials import MaterialList, fetch_material
+    from voxelrt.ops import bsdf
+    from voxelrt.ops.sampling import make_orthonormal_basis
+
+    mats = MaterialList()
+    rng = np.random.default_rng(11)
+    n = 4096
+    used = (0, 1, 2, 11, 80)  # example6's set: subsurface only
+    mid = jnp.asarray(rng.choice(used, n).astype(np.int32))
+    alb = jnp.asarray(rng.random((n, 3), np.float32))
+    mat = fetch_material(mats.params, mid, alb, used_ids=used)
+
+    def unit(x):
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    nrm = jnp.asarray(unit(rng.normal(size=(n, 3))).astype(np.float32))
+    view = jnp.asarray(unit(rng.normal(size=(n, 3))).astype(np.float32))
+    l = jnp.asarray(unit(rng.normal(size=(n, 3))).astype(np.float32))
+    u3 = jnp.asarray(rng.random((n, 3), np.float32))
+    tang, bit = make_orthonormal_basis(nrm)
+
+    feat = bsdf.MatFeatures(subsurface=True, metallic=False,
+                            anisotropic=False, sheen=False, clearcoat=False)
+
+    ref = bsdf.disney_eval_split_pdf(mat, view, nrm, l, tang, bit)
+    fast = bsdf.disney_eval_split_pdf(mat, view, nrm, l, tang, bit, feat=feat)
+    for a, b in zip(ref, fast):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    ref = bsdf.sample_disney(mat, view, nrm, tang, bit, u3)
+    fast = bsdf.sample_disney(mat, view, nrm, tang, bit, u3, feat=feat)
+    # the float-gap lobe-choice corner affects ~1 lane per 1e7 draws; at
+    # n=4096 every lane must agree exactly
+    for a, b in zip(ref, fast):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    ref = bsdf.disney_evaluate_split(mat, view, nrm, l, tang, bit)
+    fast = bsdf.disney_evaluate_split(mat, view, nrm, l, tang, bit, feat=feat)
+    for a, b in zip(ref, fast):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -61,6 +61,23 @@ class HeadlessRenderer:
     # -- precompute (renderer/pathtracer.py:314-323) -----------------------
 
     def prepare_data(self):
+        import dataclasses
+
+        # Bake the static set of material ids reachable at runtime (voxel
+        # grid + floor + air/default/light built-ins) so fetch_material
+        # compiles to a select chain instead of a 128-wide one-hot matmul.
+        ids = set(int(i) for i in np.unique(self.scene.world.material))
+        ids |= {0, 1, 2, int(self.scene._floor_material)}
+        # Feature flags over the reachable palette rows: a feature that is
+        # zero for every reachable material lets ops.bsdf drop that lobe's
+        # math at trace time (see MatFeatures).
+        rows = self.mats.params_np[sorted(ids)]
+        feats = tuple(
+            bool(np.any(rows[:, c] != 0.0)) for c in (3, 4, 8, 9, 11)
+        )  # subsurface, metallic, anisotropic, sheen, clearcoat
+        self.cfg = dataclasses.replace(
+            self.cfg, material_ids=tuple(sorted(ids)), material_features=feats
+        )
         arrays = self.scene.world.device_arrays()
         sky = None
         if self.cfg.use_physical_sky:

@@ -61,6 +61,17 @@ class RenderConfig:
     use_pallas_dda: bool = False
     pallas_interpret: bool = False
 
+    # Static set of material ids that can occur at runtime (voxel grid +
+    # floor + built-ins), baked by HeadlessRenderer.prepare_data. A small
+    # set turns the (N, 128) one-hot palette matmul in fetch_material into
+    # an exact per-field select chain (see voxelrt/materials.py).
+    material_ids: tuple = ()
+    # Which Disney features the ids in material_ids actually use
+    # (ops.bsdf.MatFeatures fields); features that are zero across the whole
+    # palette subset let the BSDF drop exactly-zero lobes at trace time.
+    # () = unknown -> evaluate everything.
+    material_features: tuple = ()
+
     # Sort incoherent (bounce/shadow) rays by origin-cell morton code before
     # dispatching the Pallas kernel: terminated lanes compact to the back
     # (whole blocks exit after one iteration) and live blocks become

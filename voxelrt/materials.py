@@ -77,10 +77,46 @@ class Material(NamedTuple):
 
 
 def fetch_material(params: jax.Array, mat_id: jax.Array,
-                   albedo: jax.Array | None = None) -> Material:
+                   albedo: jax.Array | None = None,
+                   used_ids: tuple | None = None) -> Material:
     """Fetch materials from a (128, 14) palette array for (N,) ids; the
     per-voxel color always overrides base_col
-    (renderer/math_utils.py:245-247, renderer/pathtracer.py:429)."""
+    (renderer/math_utils.py:245-247, renderer/pathtracer.py:429).
+
+    ``used_ids``: the static set of ids that can occur at runtime (baked by
+    the app shell from the voxel grid + floor). When given and small, the
+    lookup compiles to a per-field select chain over those rows — exact,
+    fully fusable VPU ops — instead of a (N, 128) one-hot matmul, which
+    measured 17 ms per 7.4M-lane wavefront (2.1 ms/spp at 8-sample
+    launches) on v5e.
+    """
+    if used_ids and len(used_ids) <= 16:
+        rows = [params[int(i)] for i in used_ids]
+
+        def sel(col):
+            acc = jnp.broadcast_to(rows[0][col], mat_id.shape)
+            for i, row in zip(used_ids[1:], rows[1:]):
+                acc = jnp.where(mat_id == int(i), row[col], acc)
+            return acc
+
+        if albedo is None:
+            base = jnp.stack([sel(0), sel(1), sel(2)], axis=-1)
+        else:
+            base = albedo
+        return Material(
+            base_col=base,
+            subsurface=sel(3),
+            metallic=sel(4),
+            specular=sel(5),
+            specular_tint=sel(6),
+            roughness=sel(7),
+            anisotropic=sel(8),
+            sheen=sel(9),
+            sheen_tint=sel(10),
+            clearcoat=sel(11),
+            clearcoat_gloss=sel(12),
+            ior_minus_one=sel(13),
+        )
     p = lookup_onehot(params, mat_id)
     base = p[..., 0:3] if albedo is None else albedo
     return Material(

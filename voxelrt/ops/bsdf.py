@@ -38,6 +38,28 @@ LOBE_CLEARC = 2
 LOBE_ALL = 9
 
 
+from typing import NamedTuple
+
+
+class MatFeatures(NamedTuple):
+    """Static per-scene material feature flags (baked by the app shell from
+    the palette rows reachable via cfg.material_ids). A False flag certifies
+    the feature is 0.0 for every material that can occur, so the lobes it
+    scales are exact zeros and trace-time specialization drops their math —
+    bitwise identical except the measure-zero case where the reference's
+    lobe-choice uniform lands in the float gap above dw+sw and picks the
+    weight-0 clearcoat lobe (pdf 0 -> clamped; ~1 lane per 1e7 draws)."""
+
+    subsurface: bool = True
+    metallic: bool = True
+    anisotropic: bool = True
+    sheen: bool = True
+    clearcoat: bool = True
+
+
+ALL_FEATURES = MatFeatures()
+
+
 def _pow5(x):
     x2 = x * x
     return x2 * x2 * x
@@ -55,7 +77,7 @@ def disney_subsurface(mat, n_dot_l, n_dot_v, l_dot_h, f_l, f_v):
     return (1.0 / PI) * ss[..., None] * mat.base_col
 
 
-def disney_diffuse(mat, n_dot_l, n_dot_v, l_dot_h):
+def disney_diffuse(mat, n_dot_l, n_dot_v, l_dot_h, feat=ALL_FEATURES):
     """Diffuse + retro + subsurface + sheen (renderer/bsdf.py:48-67)."""
     r_r = 2.0 * mat.roughness * sqr(l_dot_h)
     f_l = _pow5(1.0 - n_dot_l)
@@ -65,21 +87,26 @@ def disney_diffuse(mat, n_dot_l, n_dot_v, l_dot_h):
     f_retro = f_lambert * (r_r * (f_l + f_v + f_l * f_v * (r_r - 1.0)))[..., None]
     f_d = f_lambert * ((1.0 - 0.5 * f_l) * (1.0 - 0.5 * f_v))[..., None] + f_retro
 
-    albedo_lum = luminance(mat.base_col)
-    sheen_col = jnp.where(
-        (albedo_lum > 0.0)[..., None],
-        mat.base_col / jnp.maximum(albedo_lum, 1e-20)[..., None],
-        1.0,
-    )
-    sheen_schlick = _pow5(1.0 - l_dot_h)
-    sheen = (
-        mat.sheen[..., None]
-        * mix(jnp.ones_like(sheen_col), sheen_col, mat.sheen_tint[..., None])
-        * sheen_schlick[..., None]
-    )
-
-    ss = disney_subsurface(mat, n_dot_l, n_dot_v, l_dot_h, f_l, f_v)
-    return mix(f_d, ss, mat.subsurface[..., None]) + sheen
+    if feat.subsurface:
+        ss = disney_subsurface(mat, n_dot_l, n_dot_v, l_dot_h, f_l, f_v)
+        out = mix(f_d, ss, mat.subsurface[..., None])
+    else:
+        out = f_d
+    if feat.sheen:
+        albedo_lum = luminance(mat.base_col)
+        sheen_col = jnp.where(
+            (albedo_lum > 0.0)[..., None],
+            mat.base_col / jnp.maximum(albedo_lum, 1e-20)[..., None],
+            1.0,
+        )
+        sheen_schlick = _pow5(1.0 - l_dot_h)
+        sheen = (
+            mat.sheen[..., None]
+            * mix(jnp.ones_like(sheen_col), sheen_col, mat.sheen_tint[..., None])
+            * sheen_schlick[..., None]
+        )
+        out = out + sheen
+    return out
 
 
 def gtr2_anisotropic(n_dot_h, h_dot_x, h_dot_y, ax, ay):
@@ -96,7 +123,7 @@ def smith_g_ggx_aniso(n_dot_v, v_dot_x, v_dot_y, ax, ay):
     return 1.0 / jnp.where(denom == 0.0, 1e-20, denom)
 
 
-def disney_fresnel(mat, l_dot_h):
+def disney_fresnel(mat, l_dot_h, feat=ALL_FEATURES):
     """renderer/bsdf.py:77-83."""
     albedo_lum = luminance(mat.base_col)
     spec_tint = jnp.where(
@@ -104,18 +131,23 @@ def disney_fresnel(mat, l_dot_h):
         mat.base_col / jnp.maximum(albedo_lum, 1e-20)[..., None],
         1.0,
     )
-    spec_col = mix(
+    dielectric = (
         mat.specular[..., None]
         * 0.08
-        * mix(jnp.ones_like(spec_tint), spec_tint, mat.specular_tint[..., None]),
-        mat.base_col,
-        mat.metallic[..., None],
+        * mix(jnp.ones_like(spec_tint), spec_tint, mat.specular_tint[..., None])
     )
+    if feat.metallic:
+        spec_col = mix(dielectric, mat.base_col, mat.metallic[..., None])
+    else:
+        spec_col = dielectric
     f_l = _pow5(1.0 - l_dot_h)
     return mix(spec_col, jnp.ones_like(spec_col), f_l[..., None])
 
 
-def _aniso_alphas(mat):
+def _aniso_alphas(mat, feat=ALL_FEATURES):
+    if not feat.anisotropic:  # aspect == 1.0 exactly
+        ax = jnp.maximum(sqr(mat.roughness), 1e-3)
+        return ax, ax
     aspect = jnp.sqrt(jnp.maximum(1.0 - 0.9 * mat.anisotropic, 0.0))
     ax = jnp.maximum(sqr(mat.roughness) / jnp.maximum(aspect, 1e-4), 1e-3)
     ay = jnp.maximum(sqr(mat.roughness) * aspect, 1e-3)
@@ -123,15 +155,15 @@ def _aniso_alphas(mat):
 
 
 def disney_specular(mat, n_dot_l, n_dot_v, l_dot_h, n_dot_h, h_dot_x, h_dot_y,
-                    l_dot_x, l_dot_y, v_dot_x, v_dot_y):
+                    l_dot_x, l_dot_y, v_dot_x, v_dot_y, feat=ALL_FEATURES):
     """Specular reflection lobe (renderer/bsdf.py:86-105). Note the
     reference's 1/(4 NdotL NdotV) is commented out there; kept identical."""
-    ax, ay = _aniso_alphas(mat)
+    ax, ay = _aniso_alphas(mat, feat)
     d = gtr2_anisotropic(n_dot_h, h_dot_x, h_dot_y, ax, ay)
     g = smith_g_ggx_aniso(n_dot_l, l_dot_x, l_dot_y, ax, ay) * smith_g_ggx_aniso(
         n_dot_v, v_dot_x, v_dot_y, ax, ay
     )
-    f = disney_fresnel(mat, l_dot_h)
+    f = disney_fresnel(mat, l_dot_h, feat)
     return (d * g)[..., None] * f
 
 
@@ -176,35 +208,43 @@ def _half_vectors(v, n, l, tang, bitang):
     )
 
 
-def disney_evaluate_split(mat, v, n, l, tang, bitang):
+def _metallic_scale(bsdf_d, mat, feat):
+    if not feat.metallic:  # (1 - 0) multiply is exact identity
+        return bsdf_d
+    return bsdf_d * (1.0 - mat.metallic)[..., None]
+
+
+def disney_evaluate_split(mat, v, n, l, tang, bitang, feat=ALL_FEATURES):
     """renderer/bsdf.py:138-172 — (diffuse, specular) with the
     upper-hemisphere gate."""
     q = _half_vectors(v, n, l, tang, bitang)
     valid = (q["n_dot_l"] > 0.0) & (q["n_dot_v"] > 0.0)
 
-    bsdf_d = disney_diffuse(mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"]) * (
-        1.0 - mat.metallic
-    )[..., None]
+    bsdf_d = _metallic_scale(
+        disney_diffuse(mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"], feat),
+        mat, feat,
+    )
     bsdf_s = disney_specular(
         mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"], q["n_dot_h"],
         q["h_dot_x"], q["h_dot_y"], q["l_dot_x"], q["l_dot_y"],
-        q["v_dot_x"], q["v_dot_y"],
+        q["v_dot_x"], q["v_dot_y"], feat,
     )
-    bsdf_s = bsdf_s + disney_clearcoat(
-        mat, q["n_dot_l"], q["n_dot_v"], q["n_dot_h"], q["l_dot_h"]
-    )[..., None]
+    if feat.clearcoat:
+        bsdf_s = bsdf_s + disney_clearcoat(
+            mat, q["n_dot_l"], q["n_dot_v"], q["n_dot_h"], q["l_dot_h"]
+        )[..., None]
 
     m = valid[..., None]
     return jnp.where(m, bsdf_d, 0.0), jnp.where(m, bsdf_s, 0.0)
 
 
-def disney_evaluate(mat, v, n, l, tang, bitang):
+def disney_evaluate(mat, v, n, l, tang, bitang, feat=ALL_FEATURES):
     """renderer/bsdf.py:174-177."""
-    d, s = disney_evaluate_split(mat, v, n, l, tang, bitang)
+    d, s = disney_evaluate_split(mat, v, n, l, tang, bitang, feat)
     return d + s
 
 
-def disney_eval_split_pdf(mat, v, n, l, tang, bitang):
+def disney_eval_split_pdf(mat, v, n, l, tang, bitang, feat=ALL_FEATURES):
     """Fused (diffuse, specular, mixture pdf) — bitwise equal to
     ``disney_evaluate_split`` + ``pdf_disney`` (renderer/bsdf.py:138-172,
     383-393) but sharing the half-vector frame, GTR/Smith terms and lobe
@@ -213,39 +253,42 @@ def disney_eval_split_pdf(mat, v, n, l, tang, bitang):
     """
     q = _half_vectors(v, n, l, tang, bitang)
     valid = (q["n_dot_l"] > 0.0) & (q["n_dot_v"] > 0.0)
-    ax, ay = _aniso_alphas(mat)
+    ax, ay = _aniso_alphas(mat, feat)
 
     # shared lobe terms
     spec_d = gtr2_anisotropic(q["n_dot_h"], q["h_dot_x"], q["h_dot_y"], ax, ay)
     g1_v = smith_g_ggx_aniso(q["n_dot_v"], q["v_dot_x"], q["v_dot_y"], ax, ay)
-    cc_alpha = mix(0.1, 0.001, mat.clearcoat_gloss)
-    cc_d = gtr1(jnp.abs(q["n_dot_h"]), cc_alpha)
 
     # evaluate (disney_evaluate_split)
-    bsdf_d = disney_diffuse(mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"]) * (
-        1.0 - mat.metallic
-    )[..., None]
+    bsdf_d = _metallic_scale(
+        disney_diffuse(mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"], feat),
+        mat, feat,
+    )
     g = smith_g_ggx_aniso(q["n_dot_l"], q["l_dot_x"], q["l_dot_y"], ax, ay) * g1_v
-    f = disney_fresnel(mat, q["l_dot_h"])
+    f = disney_fresnel(mat, q["l_dot_h"], feat)
     bsdf_s = (spec_d * g)[..., None] * f
-    cc_f = mix(0.04, 1.0, _pow5(1.0 - q["l_dot_h"]))
-    cc_g = smith_g_ggx(q["n_dot_l"], 0.25) * smith_g_ggx(q["n_dot_v"], 0.25)
-    bsdf_s = bsdf_s + (mat.clearcoat * cc_d * cc_f * cc_g)[..., None]
     m = valid[..., None]
 
     # pdf (pdf_disney); v_dot_h kept as its own dot for bitwise parity with
     # pdf_clearcoat's dot(v, h)
-    dw, sw, cw = lobe_probabilities(mat)
+    dw, sw, cw = lobe_probabilities(mat, feat)
     pdf_d = saturate(q["n_dot_l"]) / PI
     pdf_s = (
         g1_v * jnp.abs(q["l_dot_h"]) * spec_d
         / jnp.maximum(jnp.abs(q["n_dot_l"]), 1e-20)
     )
-    v_dot_h = dot(v, q["h"])
-    pdf_c = cc_d * jnp.abs(q["n_dot_h"]) / jnp.where(
-        v_dot_h == 0.0, 1e-20, 4.0 * v_dot_h
-    )
-    pdf = pdf_d * dw + pdf_s * sw + pdf_c * cw
+    pdf = pdf_d * dw + pdf_s * sw
+    if feat.clearcoat:
+        cc_alpha = mix(0.1, 0.001, mat.clearcoat_gloss)
+        cc_d = gtr1(jnp.abs(q["n_dot_h"]), cc_alpha)
+        cc_f = mix(0.04, 1.0, _pow5(1.0 - q["l_dot_h"]))
+        cc_g = smith_g_ggx(q["n_dot_l"], 0.25) * smith_g_ggx(q["n_dot_v"], 0.25)
+        bsdf_s = bsdf_s + (mat.clearcoat * cc_d * cc_f * cc_g)[..., None]
+        v_dot_h = dot(v, q["h"])
+        pdf_c = cc_d * jnp.abs(q["n_dot_h"]) / jnp.where(
+            v_dot_h == 0.0, 1e-20, 4.0 * v_dot_h
+        )
+        pdf = pdf + pdf_c * cw
     return jnp.where(m, bsdf_d, 0.0), jnp.where(m, bsdf_s, 0.0), pdf
 
 
@@ -285,10 +328,16 @@ def disney_evaluate_lobewise(mat, v, n, l, tang, bitang, lobe_id, specular_mult=
     return d + s
 
 
-def lobe_probabilities(mat):
+def lobe_probabilities(mat, feat=ALL_FEATURES):
     """renderer/bsdf.py:351-363."""
-    diffuse_w = (1.0 - mat.metallic) * jnp.clip(1.0 - mat.specular, 0.4, 0.9)
+    if feat.metallic:
+        diffuse_w = (1.0 - mat.metallic) * jnp.clip(1.0 - mat.specular, 0.4, 0.9)
+    else:
+        diffuse_w = jnp.clip(1.0 - mat.specular, 0.4, 0.9)
     specular_w = 1.0 - diffuse_w
+    if not feat.clearcoat:  # clearcoat_w == 0.0 exactly; sums/quotients exact
+        w_sum = diffuse_w + specular_w
+        return diffuse_w / w_sum, specular_w / w_sum, jnp.zeros_like(diffuse_w)
     clearcoat_w = mat.clearcoat * 0.7
     w_sum = diffuse_w + specular_w + clearcoat_w
     return diffuse_w / w_sum, specular_w / w_sum, clearcoat_w / w_sum
@@ -397,9 +446,9 @@ def _ggx_vndf_sample(mat, v, n, tang, bitang, ax, ay, u):
     return m
 
 
-def sample_specular(mat, v, n, tang, bitang, u):
+def sample_specular(mat, v, n, tang, bitang, u, feat=ALL_FEATURES):
     """renderer/bsdf.py:279-304 — returns (dir, pdf)."""
-    ax, ay = _aniso_alphas(mat)
+    ax, ay = _aniso_alphas(mat, feat)
     m = _ggx_vndf_sample(mat, v, n, tang, bitang, ax, ay, u)
     sampled = reflect(-v, m)
     n_dot_l = jnp.abs(dot(n, sampled))
@@ -445,47 +494,60 @@ def sample_diffuse(mat, n, u):
     return d, saturate(dot(d, n)) / PI
 
 
-def sample_disney(mat, v, n, tang, bitang, u3):
+def sample_disney(mat, v, n, tang, bitang, u3, feat=ALL_FEATURES):
     """renderer/bsdf.py:395-458 — returns (dir, brdf, pdf, lobe_id).
 
     u3: (..., 3) uniforms — lobe choice + 2-D lobe sample. All three lobe
     samplers share the 2-D uniforms; only the chosen lane is used, which is
     statistically equivalent to the reference's independent draws.
     """
-    dw, sw, cw = lobe_probabilities(mat)
+    dw, sw, cw = lobe_probabilities(mat, feat)
     u_lobe = u3[..., 0]
     u2 = u3[..., 1:3]
 
     dir_d, pdf_d = sample_diffuse(mat, n, u2)
-    dir_s, pdf_s = sample_specular(mat, v, n, tang, bitang, u2)
-    dir_c, pdf_c = sample_clearcoat(mat, v, n, tang, bitang, u2)
+    dir_s, pdf_s = sample_specular(mat, v, n, tang, bitang, u2, feat)
 
     choose_d = u_lobe <= dw
     choose_s = (~choose_d) & (u_lobe <= dw + sw)
 
-    lobe = jnp.where(choose_d, LOBE_DIFFUSE,
-                     jnp.where(choose_s, LOBE_SPEC_REFL, LOBE_CLEARC))
-    sample_dir = jnp.where(
-        choose_d[..., None], dir_d, jnp.where(choose_s[..., None], dir_s, dir_c)
-    )
-    pdf = jnp.where(choose_d, pdf_d, jnp.where(choose_s, pdf_s, pdf_c))
+    if feat.clearcoat:
+        dir_c, pdf_c = sample_clearcoat(mat, v, n, tang, bitang, u2)
+        lobe = jnp.where(choose_d, LOBE_DIFFUSE,
+                         jnp.where(choose_s, LOBE_SPEC_REFL, LOBE_CLEARC))
+        sample_dir = jnp.where(
+            choose_d[..., None], dir_d,
+            jnp.where(choose_s[..., None], dir_s, dir_c)
+        )
+        pdf = jnp.where(choose_d, pdf_d, jnp.where(choose_s, pdf_s, pdf_c))
+    else:
+        # cw == 0 so the clearcoat branch is unreachable except the float
+        # gap above dw+sw (see MatFeatures); fold it into specular.
+        lobe = jnp.where(choose_d, LOBE_DIFFUSE, LOBE_SPEC_REFL)
+        sample_dir = jnp.where(choose_d[..., None], dir_d, dir_s)
+        pdf = jnp.where(choose_d, pdf_d, pdf_s)
+        choose_s = ~choose_d
 
     q = _half_vectors(v, n, sample_dir, tang, bitang)
-    brdf_d = disney_diffuse(mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"]) * (
-        1.0 - mat.metallic
-    )[..., None]
+    brdf_d = _metallic_scale(
+        disney_diffuse(mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"], feat),
+        mat, feat,
+    )
     brdf_s = disney_specular(
         mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"], q["n_dot_h"],
         q["h_dot_x"], q["h_dot_y"], q["l_dot_x"], q["l_dot_y"],
-        q["v_dot_x"], q["v_dot_y"],
+        q["v_dot_x"], q["v_dot_y"], feat,
     )
-    brdf_c = disney_clearcoat(
-        mat, q["n_dot_l"], q["n_dot_v"], q["n_dot_h"], q["l_dot_h"]
-    )[..., None]
-
-    brdf = jnp.where(
-        choose_d[..., None], brdf_d, jnp.where(choose_s[..., None], brdf_s, brdf_c)
-    )
+    if feat.clearcoat:
+        brdf_c = disney_clearcoat(
+            mat, q["n_dot_l"], q["n_dot_v"], q["n_dot_h"], q["l_dot_h"]
+        )[..., None]
+        brdf = jnp.where(
+            choose_d[..., None], brdf_d,
+            jnp.where(choose_s[..., None], brdf_s, brdf_c)
+        )
+    else:
+        brdf = jnp.where(choose_d[..., None], brdf_d, brdf_s)
     pdf = pdf * jnp.where(choose_d, dw, jnp.where(choose_s, sw, cw))
     pdf = _scrub_pdf(pdf)
     return sample_dir, brdf, pdf, lobe

@@ -37,6 +37,8 @@ from voxelrt.ops import packing
 from voxelrt.ops.bsdf import (
     LOBE_DIFFUSE,
     LOBE_SPEC_REFL,
+    ALL_FEATURES,
+    MatFeatures,
     disney_eval_split_pdf,
     sample_disney,
 )
@@ -98,6 +100,14 @@ class RenderParams(NamedTuple):
     frame_idx: jax.Array  # () i32
     voxel_edges: jax.Array = 0.06  # () f32 — traced so scenes that differ
     # only in edge width (Scene(voxel_edges=...)) share one compilation
+
+
+def mat_features(cfg) -> MatFeatures:
+    """Static Disney feature flags for this scene's palette subset (baked
+    into cfg by HeadlessRenderer.prepare_data); () = unknown = all on."""
+    if cfg.material_features:
+        return MatFeatures(*cfg.material_features)
+    return ALL_FEATURES
 
 
 def firefly_filter(v, cfg):
@@ -463,7 +473,8 @@ def trace_sample(cfg, scene, params, key, u, v,
 
         hit = next_hit(cfg, scene, params, pos, d, tracing, shadow_ray=False,
                        coherent=depth == 0)
-        hit_mat = fetch_material(scene.mat_params, hit.mat_id, hit.albedo)
+        hit_mat = fetch_material(scene.mat_params, hit.mat_id, hit.albedo,
+                                 used_ids=cfg.material_ids)
         finite_closest = jnp.isfinite(hit.closest)
         hit_pos = pos + jnp.where(finite_closest, hit.closest, 0.0)[..., None] * d
 
@@ -574,7 +585,8 @@ def trace_sample(cfg, scene, params, key, u, v,
             # one fused lobe stack for the NEE pdf AND its bsdf value
             # (bitwise equal to pdf_disney + disney_evaluate_split)
             bsdf_d, bsdf_s, light_sample_bsdf_pdf = disney_eval_split_pdf(
-                hit_mat, view, hit.normal, light_dir, tang, bitang
+                hit_mat, view, hit.normal, light_dir, tang, bitang,
+                feat=mat_features(cfg),
             )
             if depth == 0:
                 first_light_sample_bsdf_pdf = jnp.where(
@@ -631,7 +643,8 @@ def trace_sample(cfg, scene, params, key, u, v,
         if depth == cfg.max_ray_depth - 1:
             break
         new_d, bsdf, pdf, lobe = sample_disney(hit_mat, view, hit.normal, tang,
-                                               bitang, u_bsdf)
+                                               bitang, u_bsdf,
+                                               feat=mat_features(cfg))
         bounce_weight = bsdf * saturate(dot(new_d, hit.normal))[..., None]
         if depth == 0:
             first_bounce_invpdf = jnp.where(surf, 1.0 / pdf, first_bounce_invpdf)

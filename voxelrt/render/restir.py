@@ -141,7 +141,8 @@ def shift(cfg, scene, params, dst_pos, dst_normal, dst_mat, src_reservoir):
 
     rc_tang, rc_bitang = make_orthonormal_basis(z["rc_normal"])
     rc_mat_id, rc_albedo = packing.decode_material_word(z["rc_mat_info"])
-    rc_mat = fetch_material(scene.mat_params, rc_mat_id, rc_albedo)
+    rc_mat = fetch_material(scene.mat_params, rc_mat_id, rc_albedo,
+                            used_ids=cfg.material_ids)
     rc_lobe = z["lobes"] // 10
 
     # rc-vertex bounce weights (pathtracer.py:694-717).
@@ -283,7 +284,8 @@ def spatial_gris(cfg, scene, params, reservoir_img, color, color_spec, gbuffer,
     sky_px = is_vec_zero(center_x1)
 
     cmat_id, calbedo = packing.decode_material_word(gbuffer["mat_id"].reshape(-1))
-    center_mat = fetch_material(scene.mat_params, cmat_id, calbedo)
+    center_mat = fetch_material(scene.mat_params, cmat_id, calbedo,
+                                used_ids=cfg.material_ids)
 
     # random offsets (pathtracer.py:830-837)
     seed_x = jnp.where(pass_id == 0, (ui >> 3).astype(jnp.uint32), jnp.uint32(2))
@@ -347,7 +349,8 @@ def spatial_gris(cfg, scene, params, reservoir_img, color, color_spec, gbuffer,
 
         nb_mat_word = _gather_px(gbuffer["mat_id"], tx, ty)
         nmat_id, nalbedo = packing.decode_material_word(nb_mat_word)
-        nb_mat = fetch_material(scene.mat_params, nmat_id, nalbedo)
+        nb_mat = fetch_material(scene.mat_params, nmat_id, nalbedo,
+                                used_ids=cfg.material_ids)
 
         # Shift center sample into neighbor's domain and vice versa.
         c_d, c_s, c_jac = shift(cfg, scene, params, nb_x1, nb_n1, nb_mat,
