@@ -78,6 +78,100 @@ def test_pallas_matches_reference_dda(seed, fill):
     assert checked > 10
 
 
+def test_palette_mode_colors_match_direct():
+    """≤1024 distinct voxel words switch the color table to packed 10-bit
+    palette indices (accel.py palette mode) — hit colors must be bitwise
+    identical to direct mode, which a few-color scene verifies end to end."""
+    res = 32
+    rng = np.random.default_rng(7)
+    world = VoxelWorld(1.0 / res, res, 0.0)
+    world.material = (rng.random((res,) * 3) < 0.1).astype(np.int8)
+    # 8 distinct colors → palette mode
+    world.color = (rng.integers(0, 8, (res, res, res, 1), dtype=np.uint8)
+                   * 31).repeat(3, axis=-1)
+    arrays = world.device_arrays()
+    tables = build_pallas_tables(world.material, np.asarray(arrays["voxels"]),
+                                 res)
+    assert tables.palette_words.size == 1024  # palette mode engaged
+    direct = tables._replace(
+        palette_words=jnp.zeros((0,), jnp.uint32),
+        cell_colors=jnp.asarray(_direct_color_table(world, res)),
+    )
+    n = 2048
+    o = rng.uniform(0, res, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    a = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
+                        res, interpret=True)
+    b = raytrace_pallas(direct, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
+                        res, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.distance), np.asarray(b.distance))
+    np.testing.assert_array_equal(np.asarray(a.color_word),
+                                  np.asarray(b.color_word))
+    assert np.isfinite(np.asarray(a.distance)).sum() > 100
+
+
+def _direct_color_table(world, res):
+    """Rebuild the uncompressed (64 words/cell) color table for comparison."""
+    from voxelrt.ops.accel import _pad_to, _pack_bits, morton3_np
+    arrays = world.device_arrays()
+    colors_zyx = np.asarray(arrays["voxels"])
+    r2 = res // 4
+    occ = (world.material != 0).transpose(2, 1, 0)
+    cells = (occ.reshape(r2, 4, r2, 4, r2, 4).transpose(0, 2, 4, 1, 3, 5)
+             .reshape(r2 * r2 * r2, 64))
+    colors = (colors_zyx.reshape(r2, 4, r2, 4, r2, 4)
+              .transpose(0, 2, 4, 1, 3, 5).reshape(r2 * r2 * r2, 64))
+    occupied = cells.any(axis=1)
+    cz_, cy_, cx_ = np.indices((r2, r2, r2), dtype=np.uint32)
+    code = morton3_np(cx_, cy_, cz_).reshape(-1)
+    occ_m = np.zeros_like(occupied)
+    occ_m[code] = occupied
+    colors_m = np.zeros_like(colors)
+    colors_m[code] = colors
+    return _pad_to(colors_m[occ_m].reshape(-1), 1024)
+
+
+def test_two_phase_resume_equals_single_phase():
+    """Two-phase traversal (phase-1 advance budget + resume_state) must
+    reproduce the single-phase trace exactly, with the resumed phase getting
+    only the REMAINING advance budget (render/pathtracer.py two-phase path)."""
+    res = 32
+    world, tables, pyr, arrays = make_setup(res, 0.10, 11)
+    rng = np.random.default_rng(21)
+    n = 1024
+    o = rng.uniform(0, res, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    budget = 64
+    single = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                             np.inf, res, max_advances=budget, interpret=True)
+    p1 = 8
+    a = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
+                        res, max_advances=p1, interpret=True)
+    b = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
+                        res, max_advances=budget - p1, interpret=True,
+                        resume_state=(a.distance, a.normal, a.active))
+    act = np.asarray(a.active) != 0
+    dist = np.where(act, np.asarray(b.distance), np.asarray(a.distance))
+    ipos = np.where(act[:, None], np.asarray(b.ipos), np.asarray(a.ipos))
+    normal = np.where(act[:, None], np.asarray(b.normal), np.asarray(a.normal))
+    col = np.where(act, np.asarray(b.color_word), np.asarray(a.color_word))
+    assert act.sum() > 20  # the split actually exercised the resume path
+    # Semantics the renderer consumes: hit/miss agreement everywhere; on
+    # HITS, cell/normal/color exact and t ulp-close (phase 2 restarts from
+    # floor(o + d*(t + eps)), which reorders the float accumulation). Missed
+    # rays' resting ipos is a don't-care (never read behind an inf t).
+    sd = np.asarray(single.distance)
+    np.testing.assert_array_equal(np.isfinite(dist), np.isfinite(sd))
+    hit = np.isfinite(sd)
+    assert hit.sum() > 200
+    np.testing.assert_allclose(dist[hit], sd[hit], rtol=1e-5)
+    np.testing.assert_array_equal(ipos[hit], np.asarray(single.ipos)[hit])
+    np.testing.assert_array_equal(normal[hit], np.asarray(single.normal)[hit])
+    np.testing.assert_array_equal(col[hit], np.asarray(single.color_word)[hit])
+
+
 def test_pallas_empty_and_full():
     res = 32
     world, tables, pyr, _ = make_setup(res, 0.0, 3)

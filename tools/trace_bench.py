@@ -69,6 +69,9 @@ def main():
                          "groups scanned — run on the ray classes instead of "
                          "timing them")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--noxslab", action="store_true",
+                    help="disable the candidate-B X-slab skip (A/B its "
+                         "per-iteration cost)")
     ap.add_argument("--sun", action="store_true",
                     help="bake the sun-open table and bench shadow rays "
                          "with the use_sun_open early-out")
@@ -198,6 +201,7 @@ def main():
                     tables, oo, d, 1e-6, jnp.inf, res,
                     fetch_colors=fetch_c, any_hit=any_hit,
                     use_sun_open=sun_open,
+                    use_xslab=not args.noxslab,
                     fetch_cadence=cadence, interpret=args.interpret,
                     block_rows=args.rows,
                 )

@@ -45,6 +45,15 @@ class RenderConfig:
     restir_radius: float = 24.0
     restir_taps: int = 32
 
+    # NEE sun transmittance: the reference fetches the skybox transmittance
+    # per cone-sampled light direction at every depth
+    # (renderer/pathtracer.py:465-466). Across the NEE cone (example6:
+    # half-angle 0.72°) the transmittance varies < 0.7% (max) / 0.2% (mean),
+    # so the default evaluates it ONCE per launch at the cone centre —
+    # removing a full-wavefront texture fetch per depth. 'per_ray' restores
+    # the reference-exact behavior.
+    nee_transmittance: str = "center"  # 'center' | 'per_ray'
+
     # Traversal bound (renderer/raytracer.py:103).
     max_dda_advances: int = 512
 

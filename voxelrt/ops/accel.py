@@ -52,6 +52,20 @@ v5 layout (rank-compressed; for grid_res = 128 — general powers of two up to
                                    slabs (measured, tools/trace_bench.py
                                    --debug); the morton curve keeps a
                                    3-D-local hit set in a handful.
+  * palette mode  real scenes use few DISTINCT voxel words (example6: 771 —
+                                   procedural palettes quantized to 8-bit
+                                   channels). When a scene has ≤ 1024
+                                   distinct words, cell_colors instead holds
+                                   10-bit PALETTE INDICES packed 3 per word,
+                                   22 words per cell (64 + 2 pad), and
+                                   palette_words holds the ≤ 1024 distinct
+                                   colors (exactly one (8,128) vreg slab).
+                                   The hit fetch's slab scan walks a 2.9×
+                                   smaller table (fewer distinct slabs per
+                                   lock-step block) plus one fixed 8-round
+                                   palette gather. palette_words is length 0
+                                   when the scene exceeds 1024 distinct
+                                   words (direct mode).
 
 All tables are built host-side in numpy once per scene (the reference
 rebuilds its texture + pyramid per prepare_data, renderer/voxel_world.py:89).
@@ -85,7 +99,9 @@ class PallasTables(NamedTuple):
     occ_rank_base: "jax.Array"  # u32 (n2w,) occupied prefix ranks, morton
     mixed_lo: "jax.Array"  # u32 (n_mixed padded,) rank order, bits 0-31
     mixed_hi: "jax.Array"  # u32 (n_mixed padded,) rank order, bits 32-63
-    cell_colors: "jax.Array"  # u32 (n_occ*64 padded,) morton-rank cell-major
+    cell_colors: "jax.Array"  # u32 morton-rank cell-major: direct packed
+    # words (64/cell) or, in palette mode, packed 10-bit indices (22/cell)
+    palette_words: "jax.Array"  # u32 (1024,) distinct colors, or (0,) direct
     sun_open_words: "jax.Array"  # u32 (n2w,) bit = sun cone from this cell
     # provably escapes the voxel grid (see build_sun_open_bits); all-zero
     # until add_sun_open_table stamps a light direction
@@ -304,6 +320,25 @@ def build_pallas_tables(material_xyz: np.ndarray, color_words_zyx: np.ndarray,
     occ_rank_base = prefix_ranks(occ_m)
     colors_occ = colors_m[occ_m].reshape(-1)
 
+    # Palette compression of the color table (see module docstring): most
+    # scenes quantize to few distinct packed words, so store 10-bit indices
+    # (3 per u32, 22 words/cell) + a one-slab palette instead of raw words.
+    palette, inv = np.unique(colors_occ, return_inverse=True) if \
+        len(colors_occ) else (np.zeros(1, np.uint32), np.zeros(0, np.int64))
+    if len(palette) <= 1024:
+        idx = inv.astype(np.uint32).reshape(-1, 64)
+        idx = np.concatenate(
+            [idx, np.zeros((len(idx), 2), np.uint32)], axis=1
+        ).reshape(-1, 22, 3)
+        cell_color_tbl = (
+            idx[..., 0] | (idx[..., 1] << 10) | (idx[..., 2] << 20)
+        ).reshape(-1).astype(np.uint32)
+        palette_words = np.zeros(1024, np.uint32)
+        palette_words[: len(palette)] = palette
+    else:
+        cell_color_tbl = colors_occ
+        palette_words = np.zeros(0, np.uint32)
+
     r3 = res // 8
     occ3 = (
         occ.reshape(r3, 8, r3, 8, r3, 8)
@@ -322,7 +357,8 @@ def build_pallas_tables(material_xyz: np.ndarray, color_words_zyx: np.ndarray,
         occ_rank_base=jnp.asarray(_pad_to(occ_rank_base, 128)),
         mixed_lo=jnp.asarray(_pad_to(mixed_lo, 128)),
         mixed_hi=jnp.asarray(_pad_to(mixed_hi, 128)),
-        cell_colors=jnp.asarray(_pad_to(colors_occ, 1024)),
+        cell_colors=jnp.asarray(_pad_to(cell_color_tbl, 1024)),
+        palette_words=jnp.asarray(palette_words),
         sun_open_words=jnp.asarray(
             np.zeros(len(_pad_to(lod2, 128)), np.uint32)
         ),

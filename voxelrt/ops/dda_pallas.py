@@ -131,8 +131,8 @@ def _gather_words2(ref_a, ref_b, word_idx, n_words):
 
 def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      use_sun_open, n_lod2_words, n_dist3_words, n_mixed_rows,
-                     fetch_cadence=2, slow_after=48, debug_totals=False,
-                     resume=False):
+                     use_palette=False, use_xslab=True, fetch_cadence=2,
+                     slow_after=48, debug_totals=False, resume=False):
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      tmin_ref, tmax_ref) = refs[:8]
     if resume:
@@ -144,9 +144,9 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
     else:
         tbl0 = 8
     (lod2_ref, solid_ref, dist3_ref, rankb_ref, occm_ref, occb_ref,
-     mlo_ref, mhi_ref, colors_ref, sun_ref) = refs[tbl0 : tbl0 + 10]
+     mlo_ref, mhi_ref, colors_ref, pal_ref, sun_ref) = refs[tbl0 : tbl0 + 11]
     (t_ref, ix_ref, iy_ref, iz_ref,
-     nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 10 :]
+     nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 11 :]
     res = grid_res
     r2 = res // 4
     fres = float(res)
@@ -394,15 +394,6 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         lozA = jnp.where(skip, (c3z - rad) << 3, (pz >> 2) << 2).astype(jnp.float32)
         extA = jnp.where(skip, (2 * rad + 1) << 3, 4).astype(jnp.float32)
 
-        # Candidate B: the LOD2 word already gathered for the occupancy test
-        # covers a full X-row of 32 cells (res×4×4 voxels at one (cy, cz);
-        # soundness requires 32 % r2 == 0, asserted in raytrace_pallas);
-        # w2 == 0 certifies that whole slab empty. Free long-range skip for
-        # X-dominant rays — no extra gather.
-        validB = w2 == 0
-        loyB = ((py >> 2) << 2).astype(jnp.float32)
-        lozB = ((pz >> 2) << 2).astype(jnp.float32)
-
         def box_exit(lox_, loy_, loz_, extx_, exty_, extz_):
             # watertight advance to the box exit (raytracer.py:124-147)
             fx = ox + dx * t - lox_
@@ -419,26 +410,41 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
 
         fxA, fyA, fzA, txxA, tyyA, tzzA, mintA = box_exit(
             loxA, loyA, lozA, extA, extA, extA)
-        fxB, fyB, fzB, txxB, tyyB, tzzB, mintB = box_exit(
-            jnp.float32(0.0), loyB, lozB, fres, jnp.float32(4.0),
-            jnp.float32(4.0))
+        if use_xslab:
+            # Candidate B: the LOD2 word already gathered for the occupancy
+            # test covers a full X-row of 32 cells (res×4×4 voxels at one
+            # (cy, cz); soundness requires 32 % r2 == 0, asserted in
+            # raytrace_pallas); w2 == 0 certifies that whole slab empty.
+            # Free long-range skip for X-dominant rays — no extra gather.
+            validB = w2 == 0
+            loyB = ((py >> 2) << 2).astype(jnp.float32)
+            lozB = ((pz >> 2) << 2).astype(jnp.float32)
+            fxB, fyB, fzB, txxB, tyyB, tzzB, mintB = box_exit(
+                jnp.float32(0.0), loyB, lozB, fres, jnp.float32(4.0),
+                jnp.float32(4.0))
 
-        # Both boxes contain the current position, so the ray may jump to
-        # whichever exit is farther.
-        useB = validB & (mintB > mintA)
-        lox = jnp.where(useB, 0.0, loxA)
-        loy = jnp.where(useB, loyB, loyA)
-        loz = jnp.where(useB, lozB, lozA)
-        extx = jnp.where(useB, fres, extA)
-        exty = jnp.where(useB, 4.0, extA)
-        extz = jnp.where(useB, 4.0, extA)
-        fx = jnp.where(useB, fxB, fxA)
-        fy = jnp.where(useB, fyB, fyA)
-        fz = jnp.where(useB, fzB, fzA)
-        txx = jnp.where(useB, txxB, txxA)
-        tyy = jnp.where(useB, tyyB, tyyA)
-        tzz = jnp.where(useB, tzzB, tzzA)
-        mint = jnp.where(useB, mintB, mintA)
+            # Both boxes contain the current position, so the ray may jump
+            # to whichever exit is farther.
+            useB = validB & (mintB > mintA)
+            lox = jnp.where(useB, 0.0, loxA)
+            loy = jnp.where(useB, loyB, loyA)
+            loz = jnp.where(useB, lozB, lozA)
+            extx = jnp.where(useB, fres, extA)
+            exty = jnp.where(useB, 4.0, extA)
+            extz = jnp.where(useB, 4.0, extA)
+            fx = jnp.where(useB, fxB, fxA)
+            fy = jnp.where(useB, fyB, fyA)
+            fz = jnp.where(useB, fzB, fzA)
+            txx = jnp.where(useB, txxB, txxA)
+            tyy = jnp.where(useB, tyyB, tyyA)
+            tzz = jnp.where(useB, tzzB, tzzA)
+            mint = jnp.where(useB, mintB, mintA)
+        else:
+            lox, loy, loz = loxA, loyA, lozA
+            extx = exty = extz = extA
+            fx, fy, fz = fxA, fyA, fzA
+            txx, tyy, tzz = txxA, tyyA, tzzA
+            mint = mintA
         ex = jnp.clip(jnp.floor(fx + mint * dx), 0.0, extx - 1.0)
         ey = jnp.clip(jnp.floor(fy + mint * dy), 0.0, exty - 1.0)
         ez = jnp.clip(jnp.floor(fz + mint * dz), 0.0, extz - 1.0)
@@ -515,7 +521,12 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         wm, occb = _gather_words2(occm_ref, occb_ref, mw, n_lod2_words)
         occ_rank = occb + _popcount32(wm & ((1 << mb) - 1))
         local = ((pz & 3) * 4 + (py & 3)) * 4 + (px & 3)
-        word_idx = occ_rank * 64 + local
+        if use_palette:
+            # Palette mode: cell stride 22 words of 3×10-bit indices.
+            # local // 3 == (local * 171) >> 9 exactly for local < 510.
+            word_idx = occ_rank * 22 + ((local * 171) >> 9)
+        else:
+            word_idx = occ_rank * 64 + local
         hit = f_hit != 0
         slab_id = word_idx >> 10  # one (8,128) slab = 16 cells' colors
         BIGI = jnp.int32(0x7FFFFFFF)
@@ -544,6 +555,13 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             (jnp.zeros(px.shape, jnp.int32), sid0, hit.astype(jnp.int32),
              jnp.int32(0)),
         )
+        if use_palette:
+            # Decode the 10-bit index and resolve it through the one-slab
+            # palette (fixed 8 gather rounds, no loop).
+            slot = local - 3 * ((local * 171) >> 9)
+            pidx = (col >> (10 * slot)) & 1023
+            pv = _gather_1024(pal_ref[pl.ds(0, 8), :], pidx)
+            col = jnp.where(hit, pv, 0)
         col_ref[0] = col
         n_color_slabs = nslab
     else:
@@ -571,7 +589,7 @@ class PallasTraceResult(NamedTuple):
     jax.jit,
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
                      "interpret", "fetch_cadence", "debug_totals",
-                     "block_rows", "use_sun_open"),
+                     "block_rows", "use_sun_open", "use_xslab"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -579,7 +597,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     interpret: bool = False, fetch_cadence: int = 2,
                     debug_totals: bool = False,
                     block_rows: int = SUBLANES,
-                    use_sun_open: bool = False,
+                    use_sun_open: bool = False, use_xslab: bool = True,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
@@ -659,6 +677,11 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     mlo = tables.mixed_lo.reshape(-1, LANES).astype(jnp.int32)
     mhi = tables.mixed_hi.reshape(-1, LANES).astype(jnp.int32)
     colors = tables.cell_colors.reshape(-1, LANES).astype(jnp.int32)
+    # Palette mode is keyed off the (static) palette table shape: ≤1024
+    # distinct scene colors ⇒ cell_colors holds packed 10-bit indices.
+    use_palette = tables.palette_words.size > 0
+    pal = (tables.palette_words.reshape(-1, LANES).astype(jnp.int32)
+           if use_palette else jnp.zeros((SUBLANES, LANES), jnp.int32))
     sun = tables.sun_open_words.reshape(-1, LANES).astype(jnp.int32)
     n_mixed_rows = mlo.shape[0]
 
@@ -672,7 +695,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         fetch_colors=fetch_colors, any_hit=any_hit,
         use_sun_open=use_sun_open,
         n_lod2_words=n_lod2_words, n_dist3_words=n_dist3_words,
-        n_mixed_rows=n_mixed_rows, fetch_cadence=fetch_cadence,
+        n_mixed_rows=n_mixed_rows, use_palette=use_palette,
+        use_xslab=use_xslab, fetch_cadence=fetch_cadence,
         debug_totals=debug_totals, resume=resume,
     )
 
@@ -684,7 +708,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             table_spec(dist3.shape[0]), table_spec(rankb.shape[0]),
             table_spec(occm.shape[0]), table_spec(occb.shape[0]),
             table_spec(mlo.shape[0]), table_spec(mhi.shape[0]),
-            table_spec(colors.shape[0]), table_spec(sun.shape[0]),
+            table_spec(colors.shape[0]), table_spec(pal.shape[0]),
+            table_spec(sun.shape[0]),
         ],
         out_specs=[ray_spec] * 10,
         out_shape=out_shapes,
@@ -692,7 +717,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(*ins, lod2, solid, dist3, rankb, occm, occb, mlo, mhi, colors, sun)
+    )(*ins, lod2, solid, dist3, rankb, occm, occb, mlo, mhi, colors, pal,
+      sun)
 
     t, ix, iy, iz, nx, ny, nz, it, col, act = [
         x.reshape(npad)[:n] for x in outs

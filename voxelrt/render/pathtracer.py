@@ -153,16 +153,22 @@ class Hit(NamedTuple):
     iters: jax.Array  # (N,) i32 traversal advance count
 
 
-def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
+def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
                          shadow_ray: bool, sun_shadow: bool = False):
     """Route rays through the Pallas kernel in (alive, origin-cell-morton,
-    direction-octant) order, then restore ray order.
+    direction-octant) order, then restore ray order. Masked-off rays trace
+    with tmax 0 (dead); live rays with tmax ∞ (the voxel grid bounds the
+    march; next_hit's closest-hit merge handles the floor plane).
 
     Bounce/shadow wavefronts are pixel-ordered but spatially scattered; the
     kernel's lock-step (8,128) blocks then pay worst-ray iteration counts and
     wide mask-fetch working sets. Sorting makes dead lanes vanish (their
-    blocks exit after one iteration) and live blocks spatially tight. Two
-    multi-payload lax.sorts cost ~4 ms/Mray (tools/sort_bench.py).
+    blocks exit after one iteration) and live blocks spatially tight. The
+    route/unroute lax.sorts carry the minimum payload set: tmax is
+    reconstructed from the routing key (dead ⇒ 0), and hit cell + normal
+    come back packed in one u32 (the kernel's own pack_word layout).
+    ``iters`` is returned in SORTED order (reduction-compatible only — the
+    renderer never reads it per-ray).
     """
     from voxelrt.ops.dda_pallas import (_morton3, PallasTraceResult,
                                         raytrace_pallas)
@@ -177,14 +183,16 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
         + 2 * (d[:, 1] > 0).astype(jnp.int32)
         + 4 * (d[:, 2] > 0).astype(jnp.int32)
     )
+    DEAD = jnp.int32(0x7FFFFFFF)
     key = (_morton3(cx, cy, cz) << 3) | octant
-    key = jnp.where(mask, key, jnp.int32(0x7FFFFFFF))
+    key = jnp.where(mask, key, DEAD)
     idx = jnp.arange(n, dtype=jnp.int32)
-    _, sidx, o0, o1, o2, d0, d1, d2, stmax = jax.lax.sort(
+    skey, sidx, o0, o1, o2, d0, d1, d2 = jax.lax.sort(
         [key, idx, origin[:, 0], origin[:, 1], origin[:, 2],
-         d[:, 0], d[:, 1], d[:, 2], tmax],
+         d[:, 0], d[:, 1], d[:, 2]],
         num_keys=1,
     )
+    stmax = jnp.where(skey != DEAD, jnp.float32(INF), 0.0)
     p1 = cfg.dda_phase1_advances
     so = jnp.stack([o0, o1, o2], -1)
     sd = jnp.stack([d0, d1, d2], -1)
@@ -226,19 +234,26 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, tmax, mask,
     if shadow_ray:
         _, dist = jax.lax.sort([sidx, tr.distance], num_keys=1)
         return tr._replace(distance=dist)
-    outs = jax.lax.sort(
-        [sidx, tr.distance,
-         tr.ipos[:, 0], tr.ipos[:, 1], tr.ipos[:, 2],
-         tr.normal[:, 0], tr.normal[:, 1], tr.normal[:, 2],
-         tr.iters, tr.color_word.astype(jnp.int32)],
+    # Pack hit cell + face normal into one u32 (same layout as the kernel's
+    # loop state) so the unroute sort carries 4 payloads instead of 10.
+    word = (
+        (tr.ipos[:, 0] + 1) | ((tr.ipos[:, 1] + 1) << 8)
+        | ((tr.ipos[:, 2] + 1) << 16)
+        | ((tr.normal[:, 0].astype(jnp.int32) + 1) << 24)
+        | ((tr.normal[:, 1].astype(jnp.int32) + 1) << 26)
+        | ((tr.normal[:, 2].astype(jnp.int32) + 1) << 28)
+    )
+    _, dist, word, col = jax.lax.sort(
+        [sidx, tr.distance, word, tr.color_word.astype(jnp.int32)],
         num_keys=1,
     )
-    _, dist, i0, i1, i2, n0, n1, n2, iters, col = outs
     return tr._replace(
         distance=dist,
-        ipos=jnp.stack([i0, i1, i2], -1),
-        normal=jnp.stack([n0, n1, n2], -1),
-        iters=iters,
+        ipos=jnp.stack([(word & 255) - 1, ((word >> 8) & 255) - 1,
+                        ((word >> 16) & 255) - 1], -1),
+        normal=jnp.stack([(((word >> 24) & 3) - 1).astype(jnp.float32),
+                          (((word >> 26) & 3) - 1).astype(jnp.float32),
+                          (((word >> 28) & 3) - 1).astype(jnp.float32)], -1),
         color_word=col.astype(jnp.uint32),
     )
 
@@ -287,7 +302,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
     if cfg.use_pallas_dda:
         if cfg.sort_rays and not coherent:
             tr = _trace_voxels_sorted(
-                cfg, scene.tables, eye_scaled, d, EPS, tmax, mask, shadow_ray,
+                cfg, scene.tables, eye_scaled, d, EPS, mask, shadow_ray,
                 sun_shadow=sun_shadow,
             )
         else:
@@ -387,6 +402,23 @@ def sky_transmittance(cfg, scene, d):
 
         return sample_skybox_transmittance(cfg, scene.sky, d)
     return jnp.ones(d.shape[:-1] + (3,), jnp.float32)
+
+
+def nee_transmittance(cfg, scene, params, light_dir):
+    """Sun transmittance for a cone-sampled NEE direction set.
+
+    cfg.nee_transmittance == 'center' evaluates the skybox once at the cone
+    centre (a (1, 3) fetch, broadcast over the wavefront) — see config.py for
+    the measured sub-percent deviation bound; 'per_ray' fetches per direction
+    like the reference (renderer/pathtracer.py:465-466). The ReSTIR path
+    always fetches per ray: its GRIS shift re-evaluates stored NEE terms
+    (render/restir.py) and must see the same transmittance function."""
+    if (cfg.nee_transmittance == "center" and cfg.use_physical_sky
+            and not cfg.use_restir_pt):
+        return sky_transmittance(
+            cfg, scene, jnp.asarray(params.light_direction)[None, :]
+        )
+    return sky_transmittance(cfg, scene, light_dir)
 
 
 def trace_sample(cfg, scene, params, key, u, v,
@@ -604,7 +636,7 @@ def trace_sample(cfg, scene, params, key, u, v,
                 light_pdf = cone_sample_pdf(params.light_cone_cos_theta_max, 1.0)
                 light_mis = power_heuristic(light_pdf, light_sample_bsdf_pdf)
 
-            strans = sky_transmittance(cfg, scene, light_dir)
+            strans = nee_transmittance(cfg, scene, params, light_dir)
             scale = (
                 light_mis * cfg.light_weight * jnp.maximum(ndl, 0.0)
             )[..., None] * params.light_color * strans
@@ -760,7 +792,8 @@ def trace_sample(cfg, scene, params, key, u, v,
                 u_wrs * new_weight <= light_sample_weight
             )
             sel = sel & apply
-            strans0 = sky_transmittance(cfg, scene, first_light_sample_dir)
+            strans0 = nee_transmittance(cfg, scene, params,
+                                        first_light_sample_dir)
             light_z = dict(
                 F=first_nee_diffuse + first_nee_specular,
                 rc_pos=first_light_sample_dir,

@@ -724,12 +724,24 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
 
     key_str = _cache_key(cfg, sun_dir, sun_col, cos_max)
     cache_path = os.path.join(cache_dir, f"sky_{key_str}.npz")
-    if os.path.exists(cache_path):
-        z = np.load(cache_path)
-        return _packed(SkyData(
-            jnp.asarray(z["scatt"]), jnp.asarray(z["trans"]),
-            jnp.asarray(z["ambient"]), jnp.asarray(z["lut"]),
-        ))
+    # Repo-shipped precomputes (data/skycache/) seed fresh environments: the
+    # flagship example6 skybox otherwise costs minutes of one-time precompute
+    # on a cold machine (the reference ships no equivalent because its GPU
+    # regenerates in seconds, scene.py:199-253; on TPU the march is batched
+    # differently and regen is a setup-time outlier).
+    shipped = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.pardir, "data", "skycache", f"sky_{key_str}.npz",
+    )
+    for path in (cache_path, shipped):
+        if os.path.exists(path):
+            z = np.load(path)
+            return _packed(SkyData(
+                jnp.asarray(z["scatt"].astype(np.float32)),
+                jnp.asarray(z["trans"].astype(np.float32)),
+                jnp.asarray(z["ambient"].astype(np.float32)),
+                jnp.asarray(z["lut"].astype(np.float32)),
+            ))
 
     res = cfg.skybox_res
     key = jax.random.PRNGKey(seed)
