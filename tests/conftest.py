@@ -22,6 +22,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # Narrow traversal-kernel blocks: in CPU interpret mode the production
 # 24-row blocks only pad the tests' tiny ray sets 3x (voxelrt/config.py).
 os.environ.setdefault("VOXELRT_DDA_BLOCK_ROWS", "8")
+# Shallow ray queues for the same reason (production 16 would pad a tiny
+# wavefront 16x; the queued path itself is covered by test_dda_pallas).
+os.environ.setdefault("VOXELRT_DDA_QUEUE", "2")
 
 import jax  # noqa: E402
 

@@ -132,6 +132,44 @@ def _direct_color_table(world, res):
     return _pad_to(colors_m[occ_m].reshape(-1), 1024)
 
 
+def test_queued_wavefront_matches_plain():
+    """queue_depth > 1 (v6 queued wavefront: per-slot ray queues with
+    in-place refill) must produce bitwise-identical results to the plain
+    kernel — same init, same march math, only the scheduling differs."""
+    res = 32
+    world, tables, pyr, arrays = make_setup(res, 0.10, 11)
+    rng = np.random.default_rng(33)
+    n = 4096
+    o = np.where(
+        rng.random((n, 1)) < 0.3,
+        rng.uniform(-res, 2 * res, (n, 3)),
+        rng.uniform(0, res, (n, 3)),
+    ).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # mix in dead lanes (tmax = 0 pattern comes from the caller's mask)
+    a = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
+                        res, interpret=True)
+    for c, r in ((4, 2), (2, 3)):
+        b = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                            np.inf, res, interpret=True, queue_depth=c,
+                            refill_every=r)
+        for f in ("distance", "ipos", "normal", "color_word", "iters",
+                  "active"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f"{f} C={c} R={r}")
+    # any-hit (shadow) mode too
+    sa = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
+                         res, interpret=True, any_hit=True,
+                         fetch_colors=False)
+    sb = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
+                         res, interpret=True, any_hit=True,
+                         fetch_colors=False, queue_depth=4, refill_every=2)
+    np.testing.assert_array_equal(np.asarray(sa.distance),
+                                  np.asarray(sb.distance))
+
+
 def test_two_phase_resume_equals_single_phase():
     """Two-phase traversal (phase-1 advance budget + resume_state) must
     reproduce the single-phase trace exactly, with the resumed phase getting

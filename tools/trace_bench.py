@@ -69,6 +69,13 @@ def main():
                          "groups scanned — run on the ray classes instead of "
                          "timing them")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--queue", type=int, default=1,
+                    help="queue_depth: rays per lane slot (queued wavefront)")
+    ap.add_argument("--refill", type=int, default=4,
+                    help="refill cadence for the queued wavefront")
+    ap.add_argument("--resolve-steps", type=int, default=9,
+                    help="in-cell DDA unroll length (resumable; 9 = whole "
+                         "cell in one fetch)")
     ap.add_argument("--noxslab", action="store_true",
                     help="disable the candidate-B X-slab skip (A/B its "
                          "per-iteration cost)")
@@ -202,6 +209,8 @@ def main():
                     fetch_colors=fetch_c, any_hit=any_hit,
                     use_sun_open=sun_open,
                     use_xslab=not args.noxslab,
+                    resolve_steps=args.resolve_steps,
+                    queue_depth=args.queue, refill_every=args.refill,
                     fetch_cadence=cadence, interpret=args.interpret,
                     block_rows=args.rows,
                 )
@@ -238,8 +247,7 @@ def main():
         def run(o, d, reps: int):
             def body(i, acc):
                 oo = o.at[:, 1].add(i.astype(jnp.float32) * 1e-5)
-                tmax = jnp.where(mk, jnp.float32(np.inf), 0.0)
-                r = _trace_voxels_sorted(cfg, tables, oo, d, 1e-6, tmax, mk, any_hit)
+                r = _trace_voxels_sorted(cfg, tables, oo, d, 1e-6, mk, any_hit)
                 return acc + jnp.sum(jnp.isfinite(r.distance)) + jnp.sum(r.iters)
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 

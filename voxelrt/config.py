@@ -106,6 +106,17 @@ class RenderConfig:
     # mask fetch is one full static scan over the rank-compressed mixed-cell
     # table — see ops/accel.py — with no grouping machinery to tune.)
 
+    # QUEUED WAVEFRONT (kernel v6): each (row, lane) slot of an INCOHERENT
+    # dispatch (bounce/shadow) holds a queue of this many rays and reloads
+    # in place as rays retire, amortizing lock-step straggler pacing
+    # (example6 bounce rays: mean 10.7 advances vs 82.6 block max). Tuned on
+    # v5e: depth 16 + refill cadence 3 lifts tile-order bounce 44.6 → 78.8
+    # Mrays/s and sun shadow ~85 → ~125 (tools/trace_bench.py --queue).
+    # Coherent primary rays bypass the queue (no straggler spread to hide;
+    # the refill rounds only cost). 1 disables.
+    dda_queue_depth: int = int(os.environ.get("VOXELRT_DDA_QUEUE", "16"))
+    dda_refill_every: int = 3
+
     # Vignette (renderer/pathtracer.py:32-34).
     vignette_strength: float = 0.9
     vignette_radius: float = 0.0

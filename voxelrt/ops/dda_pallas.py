@@ -129,84 +129,119 @@ def _gather_words2(ref_a, ref_b, word_idx, n_words):
     return out_a, out_b
 
 
+def _gather_words3(ref_a, ref_b, ref_c, word_idx, n_words):
+    """Gather the same index from three parallel tables in one scan."""
+    rounds = -(-n_words // LANES)
+    lane = word_idx & 127
+    row_id = word_idx >> 7
+    out_a = jnp.zeros_like(word_idx)
+    out_b = jnp.zeros_like(word_idx)
+    out_c = jnp.zeros_like(word_idx)
+    for k in range(rounds):
+        ga = jnp.take_along_axis(
+            jnp.broadcast_to(ref_a[k : k + 1, :], word_idx.shape), lane, axis=1)
+        gb = jnp.take_along_axis(
+            jnp.broadcast_to(ref_b[k : k + 1, :], word_idx.shape), lane, axis=1)
+        gc = jnp.take_along_axis(
+            jnp.broadcast_to(ref_c[k : k + 1, :], word_idx.shape), lane, axis=1)
+        if rounds > 1:
+            sel = row_id == k
+            out_a = jnp.where(sel, ga, out_a)
+            out_b = jnp.where(sel, gb, out_b)
+            out_c = jnp.where(sel, gc, out_c)
+        else:
+            out_a, out_b, out_c = ga, gb, gc
+    return out_a, out_b, out_c
+
+
+def _fetch_hit_colors(px, py, pz, hit_flag, occm_ref, occb_ref, colors_ref,
+                      pal_ref, n_lod2_words, use_palette):
+    """Hit color fetch: morton-rank index + min-reduce DISTINCT-slab loop
+    (hit cells are tile-local + MORTON-rank-compressed — compression only
+    shrinks morton distances, so a 3-D-local hit set is a handful of slabs);
+    the min doubles as the done test (BIGI ⇒ no lanes remain) so each slab
+    costs ONE vector reduction. Returns (color_words, n_slabs)."""
+    mcell = _morton3(px >> 2, py >> 2, pz >> 2)
+    mw = mcell >> 5
+    mb = mcell & 31
+    wm, occb = _gather_words2(occm_ref, occb_ref, mw, n_lod2_words)
+    occ_rank = occb + _popcount32(wm & ((1 << mb) - 1))
+    local = ((pz & 3) * 4 + (py & 3)) * 4 + (px & 3)
+    if use_palette:
+        # Palette mode: cell stride 22 words of 3×10-bit indices.
+        # local // 3 == (local * 171) >> 9 exactly for local < 510.
+        word_idx = occ_rank * 22 + ((local * 171) >> 9)
+    else:
+        word_idx = occ_rank * 64 + local
+    hit = hit_flag != 0
+    slab_id = word_idx >> 10  # one (8,128) slab = 16 cells' colors
+    BIGI = jnp.int32(0x7FFFFFFF)
+
+    def ccond(c):
+        return c[1] != BIGI
+
+    def cbody(c):
+        col, sid, remaining, ns = c
+        wanted = (remaining != 0) & (slab_id == sid)
+        gv = _gather_1024(colors_ref[pl.ds(sid * 8, 8), :],
+                          word_idx & 1023)
+        col = jnp.where(wanted, gv, col)
+        remaining = remaining & ~wanted.astype(jnp.int32)
+        nsid = jnp.min(jnp.where(remaining != 0, slab_id, BIGI))
+        return col, nsid, remaining, ns + 1
+
+    sid0 = jnp.min(jnp.where(hit, slab_id, BIGI))
+    col, _, _, nslab = jax.lax.while_loop(
+        ccond, cbody,
+        (jnp.zeros(px.shape, jnp.int32), sid0, hit.astype(jnp.int32),
+         jnp.int32(0)),
+    )
+    if use_palette:
+        # Decode the 10-bit index and resolve it through the one-slab
+        # palette (fixed 8 gather rounds, no loop).
+        slot = local - 3 * ((local * 171) >> 9)
+        pidx = (col >> (10 * slot)) & 1023
+        pv = _gather_1024(pal_ref[pl.ds(0, 8), :], pidx)
+        col = jnp.where(hit, pv, 0)
+    return col, nslab
+
+
 def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      use_sun_open, n_lod2_words, n_dist3_words, n_mixed_rows,
-                     use_palette=False, use_xslab=True, fetch_cadence=2,
+                     n_dist4_words=0, use_dist4=False, use_palette=False,
+                     use_xslab=True, fetch_cadence=2,
+                     resolve_steps=CELL_RESOLVE_STEPS,
+                     queue_depth=1, refill_every=4,
                      slow_after=48, debug_totals=False, resume=False):
+    C = queue_depth
+    queued = C > 1
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      tmin_ref, tmax_ref) = refs[:8]
     if resume:
         # Resume inputs: phase-1 exit state (t doubles as the new tmin via
         # tmin_ref; normals carry the last advance's face; act flags rays
         # still unfinished after the phase-1 advance budget).
+        assert not queued
         nxi_ref, nyi_ref, nzi_ref, acti_ref = refs[8:12]
         tbl0 = 12
     else:
         tbl0 = 8
-    (lod2_ref, solid_ref, dist3_ref, rankb_ref, occm_ref, occb_ref,
-     mlo_ref, mhi_ref, colors_ref, pal_ref, sun_ref) = refs[tbl0 : tbl0 + 11]
-    (t_ref, ix_ref, iy_ref, iz_ref,
-     nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 11 :]
+    (lod2_ref, solid_ref, dist3_ref, dist4_ref, rankb_ref, occm_ref,
+     occb_ref, mlo_ref, mhi_ref, colors_ref, pal_ref,
+     sun_ref) = refs[tbl0 : tbl0 + 12]
+    if queued:
+        # Queued mode writes PACKED per-chunk outputs (t, word, af, col);
+        # the wrapper unpacks in XLA.
+        assert not debug_totals
+        t_ref, word_ref, af_ref, col_ref = refs[tbl0 + 12 :]
+    else:
+        (t_ref, ix_ref, iy_ref, iz_ref,
+         nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 12 :]
     res = grid_res
     r2 = res // 4
     fres = float(res)
     BIG = jnp.float32(3.0e38)
-
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    tmin = tmin_ref[0]
-    tmax = tmax_ref[0]
-
-    inv_x = 1.0 / jnp.maximum(jnp.abs(dx), 1e-20)
-    inv_y = 1.0 / jnp.maximum(jnp.abs(dy), 1e-20)
-    inv_z = 1.0 / jnp.maximum(jnp.abs(dz), 1e-20)
-    sx = jnp.sign(dx)
-    sy = jnp.sign(dy)
-    sz = jnp.sign(dz)
-
-    # ray/AABB clip (raytracer.py:81-93, IEEE form)
-    def slab(o, d, inv, s):
-        a = (0.0 - o) * jnp.where(d == 0.0, 0.0, inv) * jnp.where(s < 0, -1.0, 1.0)
-        b = (fres - o) * jnp.where(d == 0.0, 0.0, inv) * jnp.where(s < 0, -1.0, 1.0)
-        lo = jnp.minimum(a, b)
-        hi = jnp.maximum(a, b)
-        deg = d == 0.0
-        lo = jnp.where(deg, -BIG, lo)
-        hi = jnp.where(deg, BIG, hi)
-        out = deg & ((o < 0.0) | (o > fres))
-        return lo, hi, out
-
-    lx, hx, ox_out = slab(ox, dx, inv_x, sx)
-    ly, hy, oy_out = slab(oy, dy, inv_y, sy)
-    lz, hz, oz_out = slab(oz, dz, inv_z, sz)
-    near = jnp.maximum(jnp.maximum(lx, ly), lz)
-    far_box = jnp.minimum(jnp.minimum(hx, hy), hz)
-    intersect = (near <= far_box) & ~(ox_out | oy_out | oz_out)
-
-    alive0 = intersect & (tmin < far_box) & (tmax > near)
-    if resume:
-        alive0 = alive0 & (acti_ref[0] != 0)
-    t0 = jnp.maximum(near, tmin)
     eps = jnp.float32(1e-6)
-    px0 = jnp.clip(jnp.floor(ox + dx * (t0 + eps)), 0.0, fres - 1.0)
-    py0 = jnp.clip(jnp.floor(oy + dy * (t0 + eps)), 0.0, fres - 1.0)
-    pz0 = jnp.clip(jnp.floor(oz + dz * (t0 + eps)), 0.0, fres - 1.0)
-    far = jnp.minimum(tmax, far_box) - eps
-
-    if any_hit:
-        nx0 = ny0 = nz0 = jnp.zeros(px0.shape, jnp.float32)
-    elif resume:
-        # continue with the face crossed by phase 1's last advance
-        nx0, ny0, nz0 = nxi_ref[0], nyi_ref[0], nzi_ref[0]
-    else:
-        # boundary-voxel initial normal (raytracer.py:98-101)
-        idx_ = jnp.abs(ox + dx * (t0 + eps) - fres * 0.5)
-        idy_ = jnp.abs(oy + dy * (t0 + eps) - fres * 0.5)
-        idz_ = jnp.abs(oz + dz * (t0 + eps) - fres * 0.5)
-        mx = jnp.maximum(jnp.maximum(idx_, idy_), idz_)
-        nx0 = jnp.where(alive0, (idx_ == mx).astype(jnp.float32), 0.0)
-        ny0 = jnp.where(alive0, (idy_ == mx).astype(jnp.float32), 0.0)
-        nz0 = jnp.where(alive0, (idz_ == mx).astype(jnp.float32), 0.0)
 
     # Loop-carried per-ray state is PACKED into three vector arrays (t,
     # word, af) instead of eleven: at block_rows=24 the unpacked carries
@@ -233,28 +268,145 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         nz_ = (((word >> 28) & 3) - 1).astype(jnp.float32)
         return px_, py_, pz_, nx_, ny_, nz_
 
+    def init_rays(ox, oy, oz, dx, dy, dz, tmin, tmax, rs_n=None, rs_act=None):
+        """Ray/AABB clip + entry state (raytracer.py:81-101, IEEE form).
+        Returns (t, word, af, far, inv_x, inv_y, inv_z); dead rays carry
+        ipos = -1 in the packed word."""
+        inv_x = 1.0 / jnp.maximum(jnp.abs(dx), 1e-20)
+        inv_y = 1.0 / jnp.maximum(jnp.abs(dy), 1e-20)
+        inv_z = 1.0 / jnp.maximum(jnp.abs(dz), 1e-20)
+        sx = jnp.sign(dx)
+        sy = jnp.sign(dy)
+        sz = jnp.sign(dz)
+
+        def slab(o, d, inv, s):
+            a = (0.0 - o) * jnp.where(d == 0.0, 0.0, inv) * jnp.where(s < 0, -1.0, 1.0)
+            b = (fres - o) * jnp.where(d == 0.0, 0.0, inv) * jnp.where(s < 0, -1.0, 1.0)
+            lo = jnp.minimum(a, b)
+            hi = jnp.maximum(a, b)
+            deg = d == 0.0
+            lo = jnp.where(deg, -BIG, lo)
+            hi = jnp.where(deg, BIG, hi)
+            out = deg & ((o < 0.0) | (o > fres))
+            return lo, hi, out
+
+        lx, hx, ox_out = slab(ox, dx, inv_x, sx)
+        ly, hy, oy_out = slab(oy, dy, inv_y, sy)
+        lz, hz, oz_out = slab(oz, dz, inv_z, sz)
+        near = jnp.maximum(jnp.maximum(lx, ly), lz)
+        far_box = jnp.minimum(jnp.minimum(hx, hy), hz)
+        intersect = (near <= far_box) & ~(ox_out | oy_out | oz_out)
+
+        alive0 = intersect & (tmin < far_box) & (tmax > near)
+        if rs_act is not None:
+            alive0 = alive0 & (rs_act != 0)
+        t0 = jnp.maximum(near, tmin)
+        px0 = jnp.clip(jnp.floor(ox + dx * (t0 + eps)), 0.0, fres - 1.0)
+        py0 = jnp.clip(jnp.floor(oy + dy * (t0 + eps)), 0.0, fres - 1.0)
+        pz0 = jnp.clip(jnp.floor(oz + dz * (t0 + eps)), 0.0, fres - 1.0)
+        far = jnp.minimum(tmax, far_box) - eps
+
+        if any_hit:
+            nx0 = ny0 = nz0 = jnp.zeros(px0.shape, jnp.float32)
+        elif rs_n is not None:
+            # continue with the face crossed by phase 1's last advance
+            nx0, ny0, nz0 = rs_n
+        else:
+            # boundary-voxel initial normal (raytracer.py:98-101)
+            idx_ = jnp.abs(ox + dx * (t0 + eps) - fres * 0.5)
+            idy_ = jnp.abs(oy + dy * (t0 + eps) - fres * 0.5)
+            idz_ = jnp.abs(oz + dz * (t0 + eps) - fres * 0.5)
+            mx = jnp.maximum(jnp.maximum(idx_, idy_), idz_)
+            nx0 = jnp.where(alive0, (idx_ == mx).astype(jnp.float32), 0.0)
+            ny0 = jnp.where(alive0, (idy_ == mx).astype(jnp.float32), 0.0)
+            nz0 = jnp.where(alive0, (idz_ == mx).astype(jnp.float32), 0.0)
+
+        word = pack_word(
+            jnp.where(alive0, px0.astype(jnp.int32), -1),
+            jnp.where(alive0, py0.astype(jnp.int32), -1),
+            jnp.where(alive0, pz0.astype(jnp.int32), -1),
+            nx0, ny0, nz0,
+        )
+        t = jnp.where(alive0, t0, BIG)
+        af = alive0.astype(jnp.int32) << 16
+        return t, word, af, far, inv_x, inv_y, inv_z
+
+    if queued:
+        def load_chunk(cursor, defaults):
+            """Select-chain load of the 8 ray fields at per-slot chunk index
+            ``cursor`` (static unroll over C); slots whose cursor matches no
+            k keep their ``defaults``."""
+            outs = list(defaults)
+            all_refs = (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                        tmin_ref, tmax_ref)
+            for k in range(C):
+                selk = cursor == k
+                outs = [jnp.where(selk, r[0, k], o)
+                        for r, o in zip(all_refs, outs)]
+            return outs
+
+        zf = jnp.zeros(ox_ref.shape[2:], jnp.float32)
+        cursor0 = jnp.zeros(ox_ref.shape[2:], jnp.int32)
+        f = load_chunk(cursor0, [zf] * 8)
+        ox0, oy0, oz0, dx0, dy0, dz0, tmin0, tmax0 = f
+    else:
+        ox0, oy0, oz0 = ox_ref[0], oy_ref[0], oz_ref[0]
+        dx0, dy0, dz0 = dx_ref[0], dy_ref[0], dz_ref[0]
+        tmin0 = tmin_ref[0]
+        tmax0 = tmax_ref[0]
+
+    rs_n = (nxi_ref[0], nyi_ref[0], nzi_ref[0]) if resume else None
+    rs_act = acti_ref[0] if resume else None
+    t_i, word_i, af_i, far0, inv_x0, inv_y0, inv_z0 = init_rays(
+        ox0, oy0, oz0, dx0, dy0, dz0, tmin0, tmax0, rs_n=rs_n, rs_act=rs_act)
+    alive0 = (af_i >> 16) != 0
+
     state = dict(
-        t=jnp.where(alive0, t0, BIG),
-        word=pack_word(px0.astype(jnp.int32), py0.astype(jnp.int32),
-                       pz0.astype(jnp.int32), nx0, ny0, nz0),
-        af=alive0.astype(jnp.int32) << 16,
+        t=t_i,
+        word=word_i,
+        af=af_i,
         total=jnp.int32(0),
-        n_live=jnp.sum(alive0.astype(jnp.int32)),
+        n_live=jnp.sum((af_i >> 16) & 1),
         n_fetch=jnp.int32(0),
         n_grp=jnp.int32(0),
     )
+    if queued:
+        state.update(
+            ox=ox0, oy=oy0, oz=oz0, dx=dx0, dy=dy0, dz=dz0,
+            ivx=inv_x0, ivy=inv_y0, ivz=inv_z0, far=far0,
+            cursor=cursor0, n_undone=jnp.int32(1),
+        )
 
     # Each iteration is an advance, a cell resolve, or a (deferral) stall;
     # stalls alternate with fetches so total ≤ ~2× work iterations.
-    max_total = 2 * max_advances + 64
+    max_total = (2 * max_advances + 64) * C
 
     def cond(s):
         # n_live is the live count at the START of the previous body run (one
         # packed reduce there); a block does at most one extra masked-out
-        # iteration compared to an exact end-of-body liveness check.
-        return (s["n_live"] > 0) & (s["total"] < max_total)
+        # iteration compared to an exact end-of-body liveness check. Queued
+        # blocks also keep running while any slot has queue entries left
+        # (n_undone, updated at refill rounds).
+        go = s["n_live"] > 0
+        if queued:
+            go = go | (s["n_undone"] > 0)
+        return go & (s["total"] < max_total)
 
     def body(s):
+        if queued:
+            # Per-slot ray fields live in the loop carry (each lane slot
+            # cycles through its queue of C rays).
+            ox, oy, oz = s["ox"], s["oy"], s["oz"]
+            dx, dy, dz = s["dx"], s["dy"], s["dz"]
+            inv_x, inv_y, inv_z = s["ivx"], s["ivy"], s["ivz"]
+            far = s["far"]
+        else:
+            ox, oy, oz, dx, dy, dz = ox0, oy0, oz0, dx0, dy0, dz0
+            inv_x, inv_y, inv_z = inv_x0, inv_y0, inv_z0
+            far = far0
+        sx = jnp.sign(dx)
+        sy = jnp.sign(dy)
+        sz = jnp.sign(dz)
         t = s["t"]
         px, py, pz, s_nx, s_ny, s_nz = unpack_word(s["word"])
         s_adv = s["af"] & 0xFFFF
@@ -276,7 +428,18 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         cell = ((pz >> 2) * r2 + (py >> 2)) * r2 + (px >> 2)
         cw = cell >> 5
         cb = cell & 31
-        if use_sun_open:
+        if use_dist4:
+            # Closest-hit mode reads ONLY the 2-bit cell distance field per
+            # march step: 0 ⇒ occupied (the occupancy test), d ≥ 1 ⇒ the
+            # radius-(d-1) CELL box is empty (a short skip where the 8³
+            # dist3 field saturates at 0 near geometry). The LOD2 word is
+            # then only needed on fetch iterations (rank indexing) and is
+            # gathered there instead.
+            v4 = (_gather_words(dist4_ref, cell >> 4, n_dist4_words)
+                  >> ((cell & 15) * 2)) & 3
+            occ2 = v4 == 0
+            w2 = None
+        elif use_sun_open:
             # Sun-shadow mode: a ray standing in a SUN-OPEN cell provably
             # escapes (ops.accel.build_sun_open_bits certifies the whole NEE
             # cone from anywhere in the cell) — retire it as a miss now.
@@ -285,9 +448,10 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             sun_esc = ((wsun >> cb) & 1) != 0
             miss = miss | (live & inb & sun_esc)
             live = active & ~miss
+            occ2 = ((w2 >> cb) & 1) != 0
         else:
             w2 = _gather_words(lod2_ref, cw, n_lod2_words)
-        occ2 = ((w2 >> cb) & 1) != 0
+            occ2 = ((w2 >> cb) & 1) != 0
         at_occ = live & occ2
 
         # ONE packed max-reduce answers both questions (scalar-producing
@@ -305,9 +469,15 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         # while occupied). The mask table holds MIXED cells only, indexed by
         # prefix-popcount rank; solid cells read an implicit all-ones mask.
         def fetch_and_resolve():
-            ws, base = _gather_words2(solid_ref, rankb_ref, cw, n_lod2_words)
+            if use_dist4:
+                ws, base, w2f = _gather_words3(solid_ref, rankb_ref, lod2_ref,
+                                               cw, n_lod2_words)
+            else:
+                ws, base = _gather_words2(solid_ref, rankb_ref, cw,
+                                          n_lod2_words)
+                w2f = w2
             solid_here = ((ws >> cb) & 1) != 0
-            below = (w2 & ~ws) & ((1 << cb) - 1)
+            below = (w2f & ~ws) & ((1 << cb) - 1)
             rank = base + _popcount32(below)
             mask_lo, mask_hi = _gather_words2(
                 mlo_ref, mhi_ref, rank, n_mixed_rows * LANES
@@ -316,9 +486,14 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             mask_hi = jnp.where(solid_here, jnp.int32(-1), mask_hi)
 
             # In-register single-voxel DDA across the fetched 4³ cell: the
-            # entry voxel is tested, then ≤10 watertight unit advances (the
-            # longest monotone voxel path through a 4³ box) — all lanes run
-            # the unroll; non-resolving lanes are masked out.
+            # entry voxel is tested, then ≤resolve_steps watertight unit
+            # advances (9 = the longest monotone voxel path through a 4³
+            # box) — all lanes run the unroll; non-resolving lanes are
+            # masked out. The resolve is RESUMABLE: a ray still inside the
+            # cell after the unroll stays at its current voxel, re-enters
+            # at_occ next iteration and continues from a fresh mask fetch,
+            # so shorter unrolls trade rare re-fetches for a cheaper
+            # every-fetch step count.
             cbx = ((px >> 2) << 2)
             cby = ((py >> 2) << 2)
             cbz = ((pz >> 2) << 2)
@@ -327,14 +502,14 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             rhit = jnp.zeros(px.shape, jnp.bool_)
             steps = jnp.zeros(px.shape, jnp.int32)
             moving = at_occ
-            for step in range(CELL_RESOLVE_STEPS + 1):
+            for step in range(resolve_steps + 1):
                 local = ((rpz & 3) * 4 + (rpy & 3)) * 4 + (rpx & 3)
                 mword = jnp.where(local < 32, mask_lo, mask_hi)
                 occ0 = ((mword >> (local & 31)) & 1) != 0
                 hit_now = moving & occ0 & (rt <= far)
                 rhit = rhit | hit_now
                 moving = moving & ~hit_now & (rt <= far)
-                if step == CELL_RESOLVE_STEPS:
+                if step == resolve_steps:
                     break
                 # unit-cell watertight advance (cs = 1 ⇒ the reconstructed
                 # in-cell coordinate is always 0: new voxel = p + exit axis)
@@ -410,7 +585,32 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
 
         fxA, fyA, fzA, txxA, tyyA, tzzA, mintA = box_exit(
             loxA, loyA, lozA, extA, extA, extA)
-        if use_xslab:
+        if use_dist4:
+            # Candidate A4: the dist4 cell box (radius v4-1 of 4³ cells).
+            # Every MARCHING ray has v4 ≥ 1 (occ2 would have routed it to
+            # the fetch), so the box is always valid for the lanes whose
+            # result is kept. Both boxes contain the ray; jump to the
+            # farther exit.
+            rad4 = v4 - 1
+            lox4 = (((px >> 2) - rad4) << 2).astype(jnp.float32)
+            loy4 = (((py >> 2) - rad4) << 2).astype(jnp.float32)
+            loz4 = (((pz >> 2) - rad4) << 2).astype(jnp.float32)
+            ext4 = ((2 * rad4 + 1) << 2).astype(jnp.float32)
+            fx4, fy4, fz4, txx4, tyy4, tzz4, mint4 = box_exit(
+                lox4, loy4, loz4, ext4, ext4, ext4)
+            use4 = mint4 > mintA
+            lox = jnp.where(use4, lox4, loxA)
+            loy = jnp.where(use4, loy4, loyA)
+            loz = jnp.where(use4, loz4, lozA)
+            extx = exty = extz = jnp.where(use4, ext4, extA)
+            fx = jnp.where(use4, fx4, fxA)
+            fy = jnp.where(use4, fy4, fyA)
+            fz = jnp.where(use4, fz4, fzA)
+            txx = jnp.where(use4, txx4, txxA)
+            tyy = jnp.where(use4, tyy4, tyyA)
+            tzz = jnp.where(use4, tzz4, tzzA)
+            mint = jnp.where(use4, mint4, mintA)
+        elif use_xslab:
             # Candidate B: the LOD2 word already gathered for the occupancy
             # test covers a full X-row of 32 cells (res×4×4 voxels at one
             # (cy, cz); soundness requires 32 % r2 == 0, asserted in
@@ -481,9 +681,90 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             o_adv | (o_active << 16) | (o_hit << 17) | (o_exh << 18)
         )
         out["total"] = s["total"] + 1
+
+        if queued:
+            # --- refill round (every ``refill_every`` iterations) ----------
+            # Retired slots (ray finished, chunk index still < C) write
+            # their packed result to their chunk's output row, then load the
+            # next ray from the slot's queue and re-run the entry init. The
+            # whole round is a static select-chain over C — no gathers.
+            do_ref = (s["total"] % refill_every) == (refill_every - 1)
+            retired = (((out["af"] >> 16) & 1) == 0) & (s["cursor"] < C)
+            out_t = out["t"]
+            out_word = out["word"]
+            out_af = out["af"]
+
+            @pl.when(do_ref)
+            def _write_retired():
+                cur = s["cursor"]
+                for k in range(C):
+                    selk = retired & (cur == k)
+                    t_ref[0, k] = jnp.where(selk, out_t, t_ref[0, k])
+                    word_ref[0, k] = jnp.where(selk, out_word, word_ref[0, k])
+                    af_ref[0, k] = jnp.where(selk, out_af, af_ref[0, k])
+
+            def do_refill():
+                ncur = jnp.where(retired, s["cursor"] + 1, s["cursor"])
+                loadable = retired & (ncur < C)
+                cur_fields = (ox, oy, oz, dx, dy, dz,
+                              jnp.zeros_like(ox), jnp.zeros_like(ox))
+                nf = load_chunk(jnp.where(loadable, ncur, -1), cur_fields)
+                nox, noy, noz, ndx, ndy, ndz, ntmin, ntmax = nf
+                ti, wordi, afi, fari, ivxi, ivyi, ivzi = init_rays(
+                    nox, noy, noz, ndx, ndy, ndz, ntmin, ntmax)
+                sel = loadable
+
+                def mrg(new, old):
+                    return jnp.where(sel, new, old)
+
+                n_undone = jnp.max((ncur < C).astype(jnp.int32))
+                return (
+                    mrg(ti, out_t), mrg(wordi, out_word), mrg(afi, out_af),
+                    mrg(fari, far),
+                    mrg(nox, ox), mrg(noy, oy), mrg(noz, oz),
+                    mrg(ndx, dx), mrg(ndy, dy), mrg(ndz, dz),
+                    mrg(ivxi, inv_x), mrg(ivyi, inv_y), mrg(ivzi, inv_z),
+                    ncur, n_undone,
+                )
+
+            def no_refill():
+                return (out_t, out_word, out_af, far, ox, oy, oz, dx, dy, dz,
+                        inv_x, inv_y, inv_z, s["cursor"], s["n_undone"])
+
+            (out["t"], out["word"], out["af"], out["far"],
+             out["ox"], out["oy"], out["oz"],
+             out["dx"], out["dy"], out["dz"],
+             out["ivx"], out["ivy"], out["ivz"],
+             out["cursor"], out["n_undone"]) = jax.lax.cond(
+                do_ref, do_refill, no_refill)
+            # (Freshly loaded rays need no n_live fix: slots with queue
+            # entries keep n_undone > 0, which alone keeps cond true.)
         return out
 
     s = jax.lax.while_loop(cond, body, state)
+
+    if queued:
+        # All per-ray results were already written to their chunk rows by
+        # the refill rounds; read them back for the color pass (the wrapper
+        # unpacks word/af in XLA). The color pass runs PER CHUNK: a chunk's
+        # hit set spans ~half the color slabs already, so a merged pass
+        # over all C chunks scans nearly every slab on C×-wider arrays
+        # (measured 2.4× slower than C narrow passes).
+        if fetch_colors:
+            for k in range(C):
+                wk = word_ref[0, k]
+                afk = af_ref[0, k]
+                pxk = (wk & 255) - 1
+                pyk = ((wk >> 8) & 255) - 1
+                pzk = ((wk >> 16) & 255) - 1
+                col_ref[0, k] = _fetch_hit_colors(
+                    pxk, pyk, pzk, (afk >> 17) & 1,
+                    occm_ref, occb_ref, colors_ref, pal_ref,
+                    n_lod2_words, use_palette)[0]
+        else:
+            col_ref[0] = jnp.zeros(col_ref.shape[1:], jnp.int32)
+        return
+
     f_px, f_py, f_pz, f_nx, f_ny, f_nz = unpack_word(s["word"])
     f_adv = s["af"] & 0xFFFF
     f_active = (s["af"] >> 16) & 1
@@ -494,16 +775,16 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         nx = ny = nz = jnp.zeros(f_nx.shape, jnp.float32)
     else:
         # normal flip toward the ray (raytracer.py:151-153)
-        ndot = dx * f_nx + dy * f_ny + dz * f_nz
+        ndot = dx0 * f_nx + dy0 * f_ny + dz0 * f_nz
         flip = ndot > 0.0
         nx = jnp.where(flip, -f_nx, f_nx)
         ny = jnp.where(flip, -f_ny, f_ny)
         nz = jnp.where(flip, -f_nz, f_nz)
 
     t_ref[0] = jnp.where(s["t"] >= BIG, jnp.float32(np.inf), s["t"])
-    ix_ref[0] = jnp.where(alive0, f_px, -1)
-    iy_ref[0] = jnp.where(alive0, f_py, -1)
-    iz_ref[0] = jnp.where(alive0, f_pz, -1)
+    ix_ref[0] = f_px
+    iy_ref[0] = f_py
+    iz_ref[0] = f_pz
     nx_ref[0] = nx
     ny_ref[0] = ny
     nz_ref[0] = nz
@@ -514,56 +795,10 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
     # --- hit color fetch (skipped for shadow rays) --------------------------
     n_color_slabs = 0
     if fetch_colors:
-        px, py, pz = f_px, f_py, f_pz
-        mcell = _morton3(px >> 2, py >> 2, pz >> 2)
-        mw = mcell >> 5
-        mb = mcell & 31
-        wm, occb = _gather_words2(occm_ref, occb_ref, mw, n_lod2_words)
-        occ_rank = occb + _popcount32(wm & ((1 << mb) - 1))
-        local = ((pz & 3) * 4 + (py & 3)) * 4 + (px & 3)
-        if use_palette:
-            # Palette mode: cell stride 22 words of 3×10-bit indices.
-            # local // 3 == (local * 171) >> 9 exactly for local < 510.
-            word_idx = occ_rank * 22 + ((local * 171) >> 9)
-        else:
-            word_idx = occ_rank * 64 + local
-        hit = f_hit != 0
-        slab_id = word_idx >> 10  # one (8,128) slab = 16 cells' colors
-        BIGI = jnp.int32(0x7FFFFFFF)
-
-        # Iterate DISTINCT color slabs via a min-reduce loop (hit cells are
-        # tile-local + MORTON-rank-compressed — compression only shrinks
-        # morton distances, so a 3-D-local hit set is a handful of slabs);
-        # the min doubles as the done test (BIGI ⇒ no lanes remain) so each
-        # slab costs ONE vector reduction.
-        def ccond(c):
-            return c[1] != BIGI
-
-        def cbody(c):
-            col, sid, remaining, ns = c
-            wanted = (remaining != 0) & (slab_id == sid)
-            gv = _gather_1024(colors_ref[pl.ds(sid * 8, 8), :],
-                              word_idx & 1023)
-            col = jnp.where(wanted, gv, col)
-            remaining = remaining & ~wanted.astype(jnp.int32)
-            nsid = jnp.min(jnp.where(remaining != 0, slab_id, BIGI))
-            return col, nsid, remaining, ns + 1
-
-        sid0 = jnp.min(jnp.where(hit, slab_id, BIGI))
-        col, _, _, nslab = jax.lax.while_loop(
-            ccond, cbody,
-            (jnp.zeros(px.shape, jnp.int32), sid0, hit.astype(jnp.int32),
-             jnp.int32(0)),
-        )
-        if use_palette:
-            # Decode the 10-bit index and resolve it through the one-slab
-            # palette (fixed 8 gather rounds, no loop).
-            slot = local - 3 * ((local * 171) >> 9)
-            pidx = (col >> (10 * slot)) & 1023
-            pv = _gather_1024(pal_ref[pl.ds(0, 8), :], pidx)
-            col = jnp.where(hit, pv, 0)
+        col, n_color_slabs = _fetch_hit_colors(
+            f_px, f_py, f_pz, f_hit, occm_ref, occb_ref, colors_ref,
+            pal_ref, n_lod2_words, use_palette)
         col_ref[0] = col
-        n_color_slabs = nslab
     else:
         col_ref[0] = jnp.zeros(f_px.shape, jnp.int32)
 
@@ -589,7 +824,8 @@ class PallasTraceResult(NamedTuple):
     jax.jit,
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
                      "interpret", "fetch_cadence", "debug_totals",
-                     "block_rows", "use_sun_open", "use_xslab"),
+                     "block_rows", "use_sun_open", "use_xslab", "use_dist4",
+                     "resolve_steps", "queue_depth", "refill_every"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -598,6 +834,9 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     debug_totals: bool = False,
                     block_rows: int = SUBLANES,
                     use_sun_open: bool = False, use_xslab: bool = True,
+                    use_dist4: bool | None = None,
+                    resolve_steps: int = CELL_RESOLVE_STEPS,
+                    queue_depth: int = 1, refill_every: int = 4,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
@@ -617,6 +856,14 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     trace restarts each active ray at parameter ``t`` carrying the face
     normal of its last advance; rays with active == 0 exit immediately.
     ``ray_min_t`` is ignored for resumed rays (t takes its place).
+
+    ``queue_depth`` C > 1 enables the QUEUED WAVEFRONT: each (row, lane)
+    slot holds a queue of C rays and reloads in place the moment its
+    current ray retires (checked every ``refill_every`` iterations), so a
+    lock-step block's cost amortizes to ~C × mean ray length + one tail
+    instead of C × worst-ray length. Measured motivation (example6 bounce
+    wavefront): mean 10.7 advances/ray vs 82.6 block max — ~8× lock-step
+    pacing waste. Incompatible with resume_state/debug_totals.
     """
     n = origin.shape[0]
     assert block_rows % SUBLANES == 0, block_rows
@@ -624,7 +871,10 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     assert 32 % (grid_res // 4) == 0, grid_res
     # adv occupies 16 bits of the packed per-ray loop state.
     assert max_advances + CELL_RESOLVE_STEPS < (1 << 16), max_advances
-    block_rays = block_rows * LANES
+    queued = queue_depth > 1
+    if queued:
+        assert resume_state is None and not debug_totals
+    block_rays = block_rows * LANES * (queue_depth if queued else 1)
     pad = (-n) % block_rays
     npad = n + pad
 
@@ -645,8 +895,19 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     tmax = prep(jnp.broadcast_to(jnp.asarray(ray_max_t, jnp.float32), (n,)))
     nb = npad // block_rays
 
-    def blk(x):
-        return x.reshape(nb, block_rows, LANES)
+    if queued:
+        def blk(x):
+            return x.reshape(nb, queue_depth, block_rows, LANES)
+
+        ray_spec = pl.BlockSpec((1, queue_depth, block_rows, LANES),
+                                lambda b: (b, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        def blk(x):
+            return x.reshape(nb, block_rows, LANES)
+
+        ray_spec = pl.BlockSpec((1, block_rows, LANES), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
 
     ins = [blk(o[:, 0]), blk(o[:, 1]), blk(o[:, 2]),
            blk(d[:, 0]), blk(d[:, 1]), blk(d[:, 2]),
@@ -656,21 +917,31 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                 blk(prep(rs_n[:, 2])),
                 blk(prep(rs_act.astype(jnp.int32)))]
 
-    ray_spec = pl.BlockSpec((1, block_rows, LANES), lambda b: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
-
     def table_spec(rows):
         return pl.BlockSpec((rows, LANES), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
+
+    if use_dist4 is None:
+        # Default OFF — measured a net loss on example6 (bounce 44.6 → 41.8
+        # Mrays/s, iterations unchanged at 45.3/block): near geometry the
+        # cell distance saturates at 1, so the skip degenerates to the
+        # one-cell advance the d3==0 fallback already takes, while the
+        # 2048-word gather costs 16 scan rounds/iteration vs LOD2's 8
+        # (PERF_NOTES round 3). Kept selectable for sparser scenes.
+        use_dist4 = False
+    assert not (use_dist4 and use_sun_open), \
+        "sun-open shares the LOD2 gather; dist4 mode replaces it"
 
     r2 = grid_res // 4
     r3 = grid_res // 8
     n_lod2_words = (r2 * r2 * r2 + 31) // 32
     n_dist3_words = (r3 * r3 * r3 + 7) // 8
+    n_dist4_words = (r2 * r2 * r2 + 15) // 16
 
     lod2 = tables.lod2_words.reshape(-1, LANES).astype(jnp.int32)
     solid = tables.solid_words.reshape(-1, LANES).astype(jnp.int32)
     dist3 = tables.dist3_words.reshape(-1, LANES).astype(jnp.int32)
+    dist4 = tables.dist4_words.reshape(-1, LANES).astype(jnp.int32)
     rankb = tables.rank_base.reshape(-1, LANES).astype(jnp.int32)
     occm = tables.occ_morton.reshape(-1, LANES).astype(jnp.int32)
     occb = tables.occ_rank_base.reshape(-1, LANES).astype(jnp.int32)
@@ -685,18 +956,29 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     sun = tables.sun_open_words.reshape(-1, LANES).astype(jnp.int32)
     n_mixed_rows = mlo.shape[0]
 
-    out_shapes = [jax.ShapeDtypeStruct((nb, block_rows, LANES), dt)
-                  for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.int32,
-                             jnp.float32, jnp.float32, jnp.float32,
-                             jnp.int32, jnp.int32, jnp.int32)]
+    if queued:
+        out_shapes = [
+            jax.ShapeDtypeStruct((nb, queue_depth, block_rows, LANES), dt)
+            for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.int32)
+        ]
+        n_out = 4
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((nb, block_rows, LANES), dt)
+                      for dt in (jnp.float32, jnp.int32, jnp.int32, jnp.int32,
+                                 jnp.float32, jnp.float32, jnp.float32,
+                                 jnp.int32, jnp.int32, jnp.int32)]
+        n_out = 10
 
     kernel = functools.partial(
         _traverse_kernel, grid_res=grid_res, max_advances=max_advances,
         fetch_colors=fetch_colors, any_hit=any_hit,
         use_sun_open=use_sun_open,
         n_lod2_words=n_lod2_words, n_dist3_words=n_dist3_words,
-        n_mixed_rows=n_mixed_rows, use_palette=use_palette,
+        n_mixed_rows=n_mixed_rows, n_dist4_words=n_dist4_words,
+        use_dist4=use_dist4, use_palette=use_palette,
         use_xslab=use_xslab, fetch_cadence=fetch_cadence,
+        resolve_steps=resolve_steps,
+        queue_depth=queue_depth, refill_every=refill_every,
         debug_totals=debug_totals, resume=resume,
     )
 
@@ -705,20 +987,52 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         grid=(nb,),
         in_specs=[ray_spec] * (12 if resume else 8) + [
             table_spec(lod2.shape[0]), table_spec(solid.shape[0]),
-            table_spec(dist3.shape[0]), table_spec(rankb.shape[0]),
+            table_spec(dist3.shape[0]), table_spec(dist4.shape[0]),
+            table_spec(rankb.shape[0]),
             table_spec(occm.shape[0]), table_spec(occb.shape[0]),
             table_spec(mlo.shape[0]), table_spec(mhi.shape[0]),
             table_spec(colors.shape[0]), table_spec(pal.shape[0]),
             table_spec(sun.shape[0]),
         ],
-        out_specs=[ray_spec] * 10,
+        out_specs=[ray_spec] * n_out,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(*ins, lod2, solid, dist3, rankb, occm, occb, mlo, mhi, colors, pal,
-      sun)
+    )(*ins, lod2, solid, dist3, dist4, rankb, occm, occb, mlo, mhi, colors,
+      pal, sun)
+
+    if queued:
+        # Unpack the per-chunk packed outputs in XLA (cheap elementwise).
+        t, word, af, col = [x.reshape(npad)[:n] for x in outs]
+        t = jnp.where(t >= jnp.float32(3.0e38), jnp.float32(np.inf), t)
+        ix = (word & 255) - 1
+        iy = ((word >> 8) & 255) - 1
+        iz = ((word >> 16) & 255) - 1
+        it = af & 0xFFFF
+        act = ((af >> 16) & 1) | ((af >> 18) & 1)
+        if any_hit:
+            normal = jnp.zeros((n, 3), jnp.float32)
+        else:
+            nx = (((word >> 24) & 3) - 1).astype(jnp.float32)
+            ny = (((word >> 26) & 3) - 1).astype(jnp.float32)
+            nz = (((word >> 28) & 3) - 1).astype(jnp.float32)
+            # normal flip toward the ray (raytracer.py:151-153)
+            ndot = direction[:, 0] * nx + direction[:, 1] * ny \
+                + direction[:, 2] * nz
+            flip = ndot > 0.0
+            normal = jnp.stack([jnp.where(flip, -nx, nx),
+                                jnp.where(flip, -ny, ny),
+                                jnp.where(flip, -nz, nz)], axis=-1)
+        return PallasTraceResult(
+            distance=t,
+            ipos=jnp.stack([ix, iy, iz], axis=-1),
+            normal=normal,
+            iters=it,
+            color_word=col.astype(jnp.uint32),
+            active=act,
+        )
 
     t, ix, iy, iz, nx, ny, nz, it, col, act = [
         x.reshape(npad)[:n] for x in outs

@@ -201,6 +201,8 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
         min(p1, cfg.max_dda_advances) if p1 else cfg.max_dda_advances,
         fetch_colors=not shadow_ray, any_hit=shadow_ray,
         use_sun_open=sun_shadow,
+        queue_depth=1 if p1 else cfg.dda_queue_depth,
+        refill_every=cfg.dda_refill_every,
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
     )
     if p1 and p1 < cfg.max_dda_advances:
@@ -312,6 +314,8 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 scene.tables, eye_scaled, d, EPS, tmax, cfg.grid_res,
                 cfg.max_dda_advances, fetch_colors=not shadow_ray,
                 any_hit=shadow_ray, use_sun_open=sun_shadow,
+                queue_depth=1 if coherent else cfg.dda_queue_depth,
+                refill_every=cfg.dda_refill_every,
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
             )
