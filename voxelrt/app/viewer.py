@@ -72,7 +72,11 @@ class ViewerState:
 
 
 def serve(scene, port=8000, host="127.0.0.1", spp_per_frame=1,
-          stats_csv=None):
+          stats_csv=None, max_frames=None, ready_cb=None):
+    """Serve the browser viewer. ``port=0`` binds an ephemeral port;
+    ``ready_cb(port)`` fires once the server is listening; ``max_frames``
+    bounds the render loop (None = run until interrupted) — both exist so
+    tests (and scripted demos) can drive a real server lifecycle."""
     from voxelrt.utils.image import to_uint8_rows
     from voxelrt.utils.native import encode_png, frame_writer
 
@@ -116,10 +120,15 @@ def serve(scene, port=8000, host="127.0.0.1", spp_per_frame=1,
 
     server = ThreadingHTTPServer((host, port), Handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
-    print(f"voxelrt viewer at http://{host}:{port}/")
+    bound_port = server.server_address[1]
+    print(f"voxelrt viewer at http://{host}:{bound_port}/")
+    if ready_cb is not None:
+        ready_cb(bound_port)
 
     def frames():
-        while vs.running:
+        n_served = 0
+        while vs.running and (max_frames is None or n_served < max_frames):
+            n_served += 1
             with vs.lock:
                 keys, dx, dy = vs.keys, vs.dx, vs.dy
                 vs.dx = vs.dy = 0.0
