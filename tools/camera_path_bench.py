@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--res", default="640x360")
     ap.add_argument("--restir", action="store_true")
     ap.add_argument("--out", default=None, help="write the final frame PNG")
+    ap.add_argument("--cfg", nargs="*", default=[],
+                    help="config overrides, e.g. motion_filter=catmullrom")
     args = ap.parse_args()
     w, h = (int(x) for x in args.res.split("x"))
 
@@ -50,8 +52,17 @@ def main():
             mod.draw()
     scene = mod.scene
     scene.quiet = True
+    import ast
+
+    over = {}
+    for kv in args.cfg:
+        k_, v_ = kv.split("=", 1)
+        try:
+            over[k_] = ast.literal_eval(v_)
+        except ValueError:
+            over[k_] = v_
     scene.config = dataclasses.replace(
-        scene.config, image_res=(w, h), use_restir_pt=args.restir
+        scene.config, image_res=(w, h), use_restir_pt=args.restir, **over
     )
 
     # Orbit + dolly path, then hold still to accumulate.

@@ -117,6 +117,16 @@ class RenderConfig:
     dda_queue_depth: int = int(os.environ.get("VOXELRT_DDA_QUEUE", "16"))
     dda_refill_every: int = 3
 
+    # Motion-phase reprojection backend: 'pallas' fuses the current-color
+    # bilinear + gated history taps into one VMEM-resident kernel
+    # (ops/resample.py — replaces ~30 full-image XLA gathers per moving
+    # frame); 'xla' keeps the plain gather formulation (also the automatic
+    # fallback when the active-res tables exceed the kernel's VMEM budget).
+    # The Pallas path stores motion-phase sources as bf16 (≈0.4%%): motion
+    # history caps at 50 frames and resets on stop, so converged stills are
+    # unaffected.
+    motion_resample: str = "pallas"  # 'pallas' | 'xla'
+
     # Vignette (renderer/pathtracer.py:32-34).
     vignette_strength: float = 0.9
     vignette_radius: float = 0.0
@@ -147,13 +157,15 @@ class RenderConfig:
     cloud_shadow_steps: int = 8
     cloud_accum_passes: int = 32
 
-    # Reprojected-history tap kernel while the camera moves: 'bilinear'
-    # (2×2) or 'catmullrom' (the reference's 4×4,
-    # renderer/pathtracer.py:1092-1183). Each tap costs a full-image XLA
-    # gather on TPU, and motion history is transient (capped at 50, reset on
-    # stop), so bilinear is the default; converged still images are
-    # identical either way.
-    motion_filter: str = "bilinear"
+    # Reprojected-history tap filter while the camera moves: 'catmullrom'
+    # (the reference's 4×4, renderer/pathtracer.py:1092-1183) or 'bilinear'
+    # (2×2). With the fused Pallas resample kernel (ops/resample.py) the
+    # reference filter fits the interactive budget (87 ms/frame moving at
+    # 720p on v5e vs 80 for bilinear), so it is the default again; the
+    # round-2 bilinear downgrade only existed because each tap was a
+    # full-image XLA gather. Converged still images are identical either
+    # way (motion history caps at 50 and resets on stop).
+    motion_filter: str = "catmullrom"
 
     # Number of path samples traced per accumulate() call per pixel.
     samples_per_launch: int = 1

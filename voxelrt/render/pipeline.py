@@ -85,12 +85,11 @@ def reset_framebuffer(state: RenderState) -> RenderState:
 TILE_W, TILE_H = 16, 8  # the reference's interleave (pathtracer.py:71-81)
 
 
-def _use_tiles(cfg):
-    w, h = cfg.image_res
+def _use_tiles(w, h):
     return w % TILE_W == 0 and h % TILE_H == 0
 
 
-def _pixel_grid(cfg):
+def _pixel_grid(w, h):
     """Flattened pixel coordinates in 16×8-tile order when divisible.
 
     The reference tiles its buffers 16×8 to cut warp divergence
@@ -98,8 +97,7 @@ def _pixel_grid(cfg):
     1024-ray traversal block a tight screen tile, which keeps the Pallas
     kernel's table-scan fetches range-limited.
     """
-    w, h = cfg.image_res
-    if _use_tiles(cfg):
+    if _use_tiles(w, h):
         tx = jnp.arange(w // TILE_W)
         ty = jnp.arange(h // TILE_H)
         i = jnp.arange(TILE_W)
@@ -115,11 +113,10 @@ def _pixel_grid(cfg):
     return u.reshape(-1), v.reshape(-1)
 
 
-def _untile(cfg, x):
+def _untile(w, h, x):
     """Inverse of the tile ordering: (N, ...) -> (W, H, ...)."""
-    w, h = cfg.image_res
     rest = x.shape[1:]
-    if _use_tiles(cfg):
+    if _use_tiles(w, h):
         x = x.reshape((w // TILE_W, h // TILE_H, TILE_W, TILE_H) + rest)
         x = jnp.swapaxes(x, 1, 2)
         return x.reshape((w, h) + rest)
@@ -139,7 +136,18 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
     Static args: cfg, camera_is_moving, render_scale.
     """
     w, h = cfg.image_res
-    u, v = _pixel_grid(cfg)
+    # TPU-first render scaling: trace ONLY the active-res wavefront and
+    # embed the results into the top-left of the full-res buffers. The
+    # reference instead masks out-of-area GPU threads
+    # (renderer/pathtracer.py:289-291), which its early-out warps make
+    # free; on TPU every masked lane still pays the elementwise glue (RNG,
+    # BSDF, G-buffer) — 4× waste at render_scale 0.5. Pixel ids (and so the
+    # per-pixel RNG streams) are unchanged, so in-area pixels are bitwise
+    # identical to the masked formulation.
+    aw = max(int(w * render_scale), 1)
+    ah = max(int(h * render_scale), 1)
+    scaled = (aw, ah) != (w, h)
+    u, v = _pixel_grid(aw, ah)
     k_samples = max(1, cfg.samples_per_launch)
     if cfg.use_restir_pt:
         # The GRIS pass consumes one reservoir per sample.
@@ -184,9 +192,18 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
 
     def img(x, ch=None):
         del ch
-        return _untile(cfg, x)
+        a = _untile(aw, ah, x)
+        if not scaled:
+            return a
+        return jnp.zeros((w, h) + a.shape[2:], a.dtype).at[:aw, :ah].set(a)
 
-    inside = img(out["inside"])
+    if scaled:
+        # Out-of-area pixels keep their previous buffers (the reference's
+        # is_outside_render_area contract).
+        inside = (jnp.arange(w)[:, None] < aw) & (jnp.arange(h)[None, :] < ah)
+        inside = inside & img(out["inside"])
+    else:
+        inside = img(out["inside"])
     sel = lambda new, old: jnp.where(
         inside[..., None] if new.ndim == 3 else inside, new, old
     )
@@ -208,7 +225,7 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
     if cfg.use_restir_pt:
         from voxelrt.render.restir import spatial_gris
 
-        reservoir_img = {k: _untile(cfg, v) for k, v in out["reservoir"].items()}
+        reservoir_img = {k: img(v) for k, v in out["reservoir"].items()}
         color, color_spec, reservoirs = spatial_gris(
             cfg, scene, params, reservoir_img, color, color_spec, gbuffer,
             state.frame, jax.random.fold_in(key, 7777),

@@ -82,11 +82,14 @@ def temporal_prepass(cfg, color, color_spec, refl_depth, render_scale):
     return color, color_spec, sm, ss, refl_depth
 
 
-def _gather2d(img, xi, yi):
-    """img[(W,H) or (W,H,C)][xi, yi] with clamped integer indices."""
+def _gather2d(img, xi, yi, bx=None, by=None):
+    """img[(W,H) or (W,H,C)][xi, yi], indices clamped to [0, bx) × [0, by)
+    (defaults to the array dims). During render scaling callers clamp to the
+    ACTIVE region so edge taps never read the stale out-of-area remainder of
+    the full-res buffer."""
     w, h = img.shape[0], img.shape[1]
-    xi = jnp.clip(xi, 0, w - 1)
-    yi = jnp.clip(yi, 0, h - 1)
+    xi = jnp.clip(xi, 0, (w if bx is None else bx) - 1)
+    yi = jnp.clip(yi, 0, (h if by is None else by) - 1)
     flat = img.reshape((w * h,) + img.shape[2:])
     return jnp.take(flat, xi * h + yi, axis=0, mode="clip")
 
@@ -155,13 +158,14 @@ def _history_filter(cfg, history, prev_depth, prev_normals, uv, center_depth,
             wgt = tap_w[0](ox) * tap_w[1](oy)
             if moving:
                 tap_normal = packing.decode_unit_vector_3x16(
-                    _gather2d(prev_normals, tx, ty)
+                    _gather2d(prev_normals, tx, ty, ires_x, ires_y)
                 )
                 ok_n = jnp.sum(center_normal * tap_normal, axis=-1) > 0.642
                 wgt = wgt * ok_n.astype(jnp.float32)
                 if gate_depth:
                     tap_depth = linearize_depth(
-                        _gather2d(prev_depth, tx, ty), proj_inv
+                        _gather2d(prev_depth, tx, ty, ires_x, ires_y),
+                        proj_inv,
                     )
                     ok_d = (
                         jnp.abs(tap_depth - center_depth)
@@ -170,14 +174,14 @@ def _history_filter(cfg, history, prev_depth, prev_normals, uv, center_depth,
                     wgt = wgt * ok_d.astype(jnp.float32)
             wgt = wgt * in_bounds.astype(jnp.float32)
 
-            col = _gather2d(history, tx, ty)
+            col = _gather2d(history, tx, ty, ires_x, ires_y)
             col_min = jnp.where(in_bounds[..., None], jnp.minimum(col_min, col),
                                 col_min)
             col_max = jnp.where(in_bounds[..., None], jnp.maximum(col_max, col),
                                 col_max)
             col_sum = col_sum + col * wgt[..., None]
             if extra is not None:
-                ex = _gather2d(extra, tx, ty)
+                ex = _gather2d(extra, tx, ty, ires_x, ires_y)
                 d_min = jnp.where(in_bounds, jnp.minimum(d_min, ex), d_min)
                 d_max = jnp.where(in_bounds, jnp.maximum(d_max, ex), d_max)
                 d_sum = d_sum + ex * wgt
@@ -195,6 +199,74 @@ def _history_filter(cfg, history, prev_depth, prev_normals, uv, center_depth,
     return w_sum, col, None
 
 
+def _moving_taps(cfg, params, state_color, history, gbuffer, texcoord, rp,
+                 center_depth, center_n, render_scale, gate_depth,
+                 extra=None):
+    """Motion-phase resampling: current-color bilinear + gated history taps.
+
+    Dispatches to the fused Pallas kernel (ops/resample.py) when enabled and
+    the active-res source tables fit VMEM; otherwise to the XLA gather path
+    (_bilinear + _history_filter). Returns (current, w_sum, hist, extra_f).
+    """
+    w, h = cfg.image_res
+    aw = max(int(w * render_scale), 1)
+    ah = max(int(h * render_scale), 1)
+    use_pallas = (
+        cfg.use_pallas_dda and cfg.motion_resample == "pallas"
+        and aw * ah <= 300_000
+    )
+    if not use_pallas:
+        current = _bilinear(state_color, texcoord, aw, ah)
+        w_sum, hist, extra_f = _history_filter(
+            cfg, history, gbuffer["prev_depth"], gbuffer["prev_normals"],
+            rp[..., 0:2], center_depth, center_n, params.proj_inv,
+            render_scale, moving=True, gate_depth=gate_depth, extra=extra,
+        )
+        return current, w_sum, hist, extra_f
+
+    from voxelrt.ops import resample as rs
+
+    cur = state_color[:aw, :ah].reshape(-1, 3)
+    cur_packed = jnp.stack([
+        rs.pack2_bf16(cur[:, 0], cur[:, 1]),
+        rs.pack2_bf16(cur[:, 2], jnp.zeros_like(cur[:, 2])),
+    ])
+    hsrc = history[:aw, :ah].reshape(-1, 4)
+    hist_packed = jnp.stack([
+        rs.pack2_bf16(hsrc[:, 0], hsrc[:, 1]),
+        rs.pack2_bf16(hsrc[:, 2], hsrc[:, 3]),
+    ])
+    pnsrc = gbuffer["prev_normals"][:aw, :ah].astype(jnp.float32)
+    pn_packed = rs.pack2_bf16(
+        pnsrc[..., 0].reshape(-1), pnsrc[..., 1].reshape(-1)
+    )
+    pd_lin = None
+    if gate_depth:
+        pd_lin = linearize_depth(
+            gbuffer["prev_depth"][:aw, :ah], params.proj_inv
+        ).reshape(-1)
+    ex = extra[:aw, :ah].reshape(-1) if extra is not None else None
+
+    fxc = (texcoord[..., 0] * aw - 0.5).reshape(-1)
+    fyc = (texcoord[..., 1] * ah - 0.5).reshape(-1)
+    fxh = (rp[..., 0] * aw - 0.5).reshape(-1)
+    fyh = (rp[..., 1] * ah - 0.5).reshape(-1)
+    current, w_sum, hist, extra_f = rs.temporal_taps(
+        cur_packed, hist_packed, pn_packed, pd_lin, ex,
+        fxc, fyc, fxh, fyh, center_depth.reshape(-1),
+        center_n.reshape(-1, 3),
+        ires_x=aw, ires_y=ah,
+        catmullrom=cfg.motion_filter != "bilinear",
+        gate_depth=gate_depth, interpret=cfg.pallas_interpret,
+    )
+    current = current.reshape(w, h, 3)
+    w_sum = w_sum.reshape(w, h)
+    hist = hist.reshape(w, h, 4)
+    if extra_f is not None:
+        extra_f = extra_f.reshape(w, h)
+    return current, w_sum, hist, extra_f
+
+
 def _bilinear(img, uv, ires_x, ires_y):
     """renderer/pathtracer.py:1077-1090."""
     fx = uv[..., 0] * ires_x - 0.5
@@ -203,10 +275,10 @@ def _bilinear(img, uv, ires_x, ires_y):
     iy = jnp.floor(fy).astype(jnp.int32)
     f_x = (fx - ix)[..., None]
     f_y = (fy - iy)[..., None]
-    bl = _gather2d(img, ix, iy)
-    br = _gather2d(img, ix + 1, iy)
-    tl = _gather2d(img, ix, iy + 1)
-    tr = _gather2d(img, ix + 1, iy + 1)
+    bl = _gather2d(img, ix, iy, ires_x, ires_y)
+    br = _gather2d(img, ix + 1, iy, ires_x, ires_y)
+    tl = _gather2d(img, ix, iy + 1, ires_x, ires_y)
+    tr = _gather2d(img, ix + 1, iy + 1, ires_x, ires_y)
     return mix(mix(bl, br, f_x), mix(tl, tr, f_x), f_y)
 
 
@@ -239,12 +311,11 @@ def temporal_filter(cfg, params, state_color, history, gbuffer,
     ires_x = int(w * render_scale)
     ires_y = int(h * render_scale)
     if moving:
-        current = _bilinear(state_color, texcoord, ires_x, ires_y)
         rp = reproject(center_x1, params.prev_view, params.prev_proj)
-        w_sum, hist, _ = _history_filter(
-            cfg, history, gbuffer["prev_depth"], gbuffer["prev_normals"],
-            rp[..., 0:2], linearize_depth(rp[..., 2], params.proj_inv),
-            center_n, params.proj_inv, render_scale, moving=True,
+        current, w_sum, hist, _ = _moving_taps(
+            cfg, params, state_color, history, gbuffer, texcoord, rp,
+            linearize_depth(rp[..., 2], params.proj_inv), center_n,
+            render_scale, gate_depth=True,
         )
     else:
         current = state_color
@@ -293,7 +364,6 @@ def temporal_filter_specular(cfg, params, color, color_spec, history_spec,
     ires_x = int(w * render_scale)
     ires_y = int(h * render_scale)
     if moving:
-        current = _bilinear(color_spec, texcoord, ires_x, ires_y)
         refl_nonlin = delinearize_depth(center_refl_depth, params.proj)
         refl_pos = view_to_world(
             screen_to_view(texcoord, refl_nonlin, params.proj_inv), params.view_inv
@@ -302,11 +372,10 @@ def temporal_filter_specular(cfg, params, color, color_spec, history_spec,
             (center_refl_depth != 0.0)[..., None], refl_pos, center_x1
         )
         rp = reproject(rp_src, params.prev_view, params.prev_proj)
-        w_sum, hist, hist_depth = _history_filter(
-            cfg, history_spec, gbuffer["prev_depth"], gbuffer["prev_normals"],
-            rp[..., 0:2], linearize_depth(rp[..., 2], params.proj_inv),
-            center_n, params.proj_inv, render_scale, moving=True,
-            gate_depth=False, extra=history_spec_depth,
+        current, w_sum, hist, hist_depth = _moving_taps(
+            cfg, params, color_spec, history_spec, gbuffer, texcoord, rp,
+            linearize_depth(rp[..., 2], params.proj_inv), center_n,
+            render_scale, gate_depth=False, extra=history_spec_depth,
         )
     else:
         current = color_spec
