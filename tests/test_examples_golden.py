@@ -26,7 +26,10 @@ RES = (128, 72)
 SPP = 16
 RMSE_TOL = 0.015
 
-SCENES = ["main"] + [f"example{i}" for i in range(1, 11)]
+# "example2_restir" gates the ReSTIR-PT spatial GRIS pipeline end to end
+# (same scene, use_restir_pt=True) — it exists so the default-off feature
+# cannot rot silently.
+SCENES = ["main"] + [f"example{i}" for i in range(1, 11)] + ["example2_restir"]
 
 TINY_SKY = dict(
     skybox_res=128,
@@ -47,12 +50,15 @@ def build_example(name):
     )
     import bench
 
-    scene = bench.build_scene(name, RES)
+    restir = name.endswith("_restir")
+    scene = bench.build_scene(name.removesuffix("_restir"), RES)
     # NB: the Scene API keeps the sky toggle outside config until the
     # renderer materializes (scene.set_use_physical_sky) — checking
     # scene.config here would miss every sky scene and silently run the
     # full-size sky precompute on CPU.
     over = dict(TINY_SKY) if scene._use_physical_sky else {}
+    if restir:
+        over.update(use_restir_pt=True, restir_taps=8, restir_radius=6.0)
     if over:
         scene.config = scene.config.__class__(
             **{**scene.config.__dict__, **over}

@@ -84,20 +84,23 @@ def test_restir_pipeline_runs():
 
 def test_restir_matches_plain_mean():
     """ReSTIR resampling must be (approximately) unbiased: the mean image
-    over many samples should match the plain path tracer."""
+    over many samples must match the plain path tracer. Measured residual
+    on this scene: ~1.0% (converged across 48 → 192 samples — the spatial
+    GRIS's defensive pairwise-MIS approximation, renderer/pathtracer.py:
+    815-989), so 5% here is a real regression gate, not a smoke check."""
     cfg0 = tiny_config(image_res=(32, 16))
     cfg1 = dataclasses.replace(cfg0, use_restir_pt=True, restir_taps=4,
                                restir_radius=3.0)
     scene = make_scene_data(cfg0)
     params = make_params(cfg0)
-    n = 48
+    n = 96
     means = []
     for cfg in (cfg0, cfg1):
         state = pipeline.init_state(cfg)
         state = pipeline.accumulate_n(cfg, scene, params, state,
                                       jax.random.PRNGKey(4), False, 1.0, n)
         means.append(np.asarray(state.color).mean())
-    assert means[1] == pytest.approx(means[0], rel=0.35), means
+    assert means[1] == pytest.approx(means[0], rel=0.05), means
 
 
 def test_moving_camera_variant_runs(setup):

@@ -104,3 +104,58 @@ def test_cloud_density_field():
     a = np.asarray(jnp.stack(atmos.cloud_texture_channels(cx, cy)))
     b = np.asarray(jnp.stack(atmos.cloud_texture_channels(cx + 256, cy + 512)))
     assert np.allclose(a, b)
+
+
+def test_user_cloud_texture():
+    """A user-supplied 256² cloud texture (Scene.set_cloud_texture /
+    sample_cloud_density(tex=...)) replaces the procedural field with the
+    reference's texture semantics (renderer/atmos.py:195-224): R/G density
+    bands, B coverage, all thresholded at 0.7."""
+    rng = np.random.default_rng(3)
+    n = 8192
+    xz = rng.uniform(-30000, 30000, (n, 2)).astype(np.float32)
+    h_in = atmos.PLANET_R + atmos.CLOUD_HEIGHT + atmos.CLOUD_THICKNESS * 0.3
+    pin = jnp.stack([xz[:, 0], np.full(n, h_in, np.float32), xz[:, 1]], -1)
+
+    solid = jnp.ones((256, 256, 3), jnp.float32)
+    empty = jnp.zeros((256, 256, 3), jnp.float32)
+    sub = jnp.full((256, 256, 3), 0.69, jnp.float32)  # below the threshold
+    d_solid = np.asarray(atmos.sample_cloud_density(pin, solid))
+    d_empty = np.asarray(atmos.sample_cloud_density(pin, empty))
+    d_sub = np.asarray(atmos.sample_cloud_density(pin, sub))
+    assert np.allclose(d_solid, atmos.CLOUD_DENSITY)  # coverage*density
+    assert (d_empty == 0).all()
+    assert (d_sub == 0).all()  # the 0.7 threshold zeroes every channel
+
+    # Scene API: path/array validation + plumbing into the renderer config
+    from voxelrt import Scene
+
+    scene = Scene(image_res=(32, 32), quiet=True)
+    scene.set_cloud_texture(np.full((256, 256, 3), 255, np.uint8))
+    assert scene._cloud_texture.max() <= 1.0
+    try:
+        scene.set_cloud_texture(np.zeros((64, 64, 3), np.float32))
+        raise AssertionError("shape validation missing")
+    except ValueError:
+        pass
+    scene.set_cloud_texture(None)
+    assert scene._cloud_texture is None
+
+    # prepare_sky cache key must distinguish textures
+    cfg_key_a = atmos._cache_key(
+        _tiny_sky_cfg(), np.ones(3), np.ones(3), 0.9,
+        np.zeros((256, 256, 3), np.float32))
+    cfg_key_b = atmos._cache_key(
+        _tiny_sky_cfg(), np.ones(3), np.ones(3), 0.9,
+        np.ones((256, 256, 3), np.float32))
+    cfg_key_c = atmos._cache_key(_tiny_sky_cfg(), np.ones(3), np.ones(3), 0.9)
+    assert len({cfg_key_a, cfg_key_b, cfg_key_c}) == 3
+
+
+def _tiny_sky_cfg():
+    from voxelrt.config import RenderConfig
+
+    return RenderConfig(skybox_res=16, sky_steps=2, sky_sun_samples=1,
+                        sky_ms_samples=1, sky_ms_steps=1, cloud_steps=2,
+                        cloud_sun_samples=1, cloud_shadow_steps=1,
+                        cloud_accum_passes=1)

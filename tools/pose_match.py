@@ -56,6 +56,14 @@ def main():
     ap.add_argument("--spp", type=int, default=64, help="final render spp")
     ap.add_argument("--search-spp", type=int, default=8)
     ap.add_argument("--out", default="/tmp/pose_match")
+    ap.add_argument("--dists", default="2.2,3.0,3.8",
+                    help="stage-1 orbit distances")
+    ap.add_argument("--els", default="10,20,30",
+                    help="stage-1 elevations (deg)")
+    ap.add_argument("--no-sky", action="store_true",
+                    help="disable the physical sky (demo.jpg's older config)")
+    ap.add_argument("--background", default=None,
+                    help="r,g,b background color override")
     args = ap.parse_args()
 
     from PIL import Image
@@ -74,6 +82,12 @@ def main():
     from voxelrt.render import pipeline
 
     scene = bench_mod.build_scene(args.scene, (sw, sh))
+    if args.no_sky:
+        scene.set_use_physical_sky(False)
+        scene.set_use_clouds(False)
+    if args.background:
+        scene.set_background_color(tuple(
+            float(x) for x in args.background.split(",")))
     r = scene.renderer
     r.prepare_data()
 
@@ -98,8 +112,8 @@ def main():
     t0 = time.perf_counter()
     best = (1e9, None)
     for az in range(0, 360, 15):
-        for el in (10, 20, 30):
-            for dist in (2.2, 3.0, 3.8):
+        for el in tuple(float(x) for x in args.els.split(",")):
+            for dist in tuple(float(x) for x in args.dists.split(",")):
                 img = render(az, el, dist, 50.0, args.search_spp)
                 s, g = score(img, ref_small)
                 if s < best[0]:

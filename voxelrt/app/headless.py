@@ -90,6 +90,7 @@ class HeadlessRenderer:
                 * self.cfg.light_weight,
                 float(self.scene._light_cone_cos_theta_max),
                 quiet=self.quiet,
+                cloud_tex=getattr(self.scene, "_cloud_texture", None),
             )
         tables = None
         if self.cfg.use_pallas_dda:

@@ -13,10 +13,12 @@ from voxelrt.world import VoxelWorld
 
 
 def tiny_config(**overrides) -> RenderConfig:
-    # dda_block_rows=8: tests run the Pallas kernel in CPU interpret mode,
-    # where wider blocks only pad tiny ray sets and slow the suite.
+    # dda_block_rows=8 / dda_queue_depth=2: tests run the Pallas kernel in
+    # CPU interpret mode, where the production block/queue sizes only pad
+    # tiny ray sets and slow the suite (the queued path itself is equality-
+    # tested in tests/test_dda_pallas.py).
     base = dict(image_res=(64, 32), grid_res=32, voxel_dx=1.0 / 16.0,
-                dda_block_rows=8)
+                dda_block_rows=8, dda_queue_depth=2)
     base.update(overrides)
     return RenderConfig(**base)
 

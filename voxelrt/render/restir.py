@@ -317,9 +317,12 @@ def spatial_gris(cfg, scene, params, reservoir_img, color, color_spec, gbuffer,
 
     center_z = z_of(center)
 
-    for i in range(max_taps):
-        angle = (i + angle_shift) * GOLDEN_ANGLE
-        offset_radius = jnp.sqrt((i + radius_shift) / max_taps) * max_radius
+    def tap_body(i, carry):
+        (out_M, out_weight, valid_samples, canonical_mis_weight,
+         chosen_f_d, chosen_f_s, out_res) = carry
+        fi = i.astype(jnp.float32)
+        angle = (fi + angle_shift) * GOLDEN_ANGLE
+        offset_radius = jnp.sqrt((fi + radius_shift) / max_taps) * max_radius
         ox = (jnp.cos(angle) * offset_radius).astype(jnp.int32)
         oy = (jnp.sin(angle) * offset_radius).astype(jnp.int32)
         nonzero = (ox != 0) | (oy != 0)
@@ -388,6 +391,7 @@ def spatial_gris(cfg, scene, params, reservoir_img, color, color_spec, gbuffer,
         out_weight = new_weight
         shifted_z = dict(z_of(nb_res))
         shifted_z["F"] = s_d + s_s
+        out_res = dict(out_res)
         for k in out_res:
             if k in ("M", "weight"):
                 continue
@@ -399,6 +403,18 @@ def spatial_gris(cfg, scene, params, reservoir_img, color, color_spec, gbuffer,
         chosen_f_d = jnp.where(sel[..., None], s_d, chosen_f_d)
         chosen_f_s = jnp.where(sel[..., None], s_s, chosen_f_s)
         valid_samples = valid_samples + gate.astype(jnp.float32)
+        return (out_M, out_weight, valid_samples, canonical_mis_weight,
+                chosen_f_d, chosen_f_s, out_res)
+
+    # A fori_loop (not a python unroll) keeps ONE tap's temporaries live at
+    # a time: the 32-tap unroll let XLA overlap tap pipelines and blew HBM
+    # at 720p (16 GB exceeded by the prefetch copies of the (n, …) temps).
+    (out_M, out_weight, valid_samples, canonical_mis_weight,
+     chosen_f_d, chosen_f_s, out_res) = jax.lax.fori_loop(
+        0, max_taps, tap_body,
+        (out_M, out_weight, valid_samples, canonical_mis_weight,
+         chosen_f_d, chosen_f_s, out_res),
+    )
 
     # Visibility revalidation of the chosen sample (pathtracer.py:959-967).
     escape = is_vec_zero(out_res["rc_normal"])

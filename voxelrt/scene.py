@@ -67,6 +67,7 @@ class Scene:
         self._background_color = np.zeros(3)
         self._use_physical_sky = False
         self._use_clouds = False
+        self._cloud_texture = None
         self._fov = config.fov
 
         self._renderer = None  # built lazily at finish()
@@ -109,6 +110,31 @@ class Scene:
 
     def set_use_clouds(self, use):
         self._use_clouds = bool(use)
+
+    def set_cloud_texture(self, texture):
+        """Use a 256×256 RGB cloud texture for the physical sky's volumetric
+        cloud layer instead of the built-in procedural field. Accepts an
+        image path or a (256, 256, 3) array; u8 arrays are scaled to [0, 1].
+        Channel semantics follow the reference
+        (renderer/atmos.py:195-224): R = lower-band density, G = upper-band
+        density, B = coverage, each thresholded at 0.7. Pass None to return
+        to the procedural field."""
+        if texture is None:
+            self._cloud_texture = None
+            return
+        if isinstance(texture, (str, bytes)):
+            from PIL import Image
+
+            texture = np.asarray(Image.open(texture).convert("RGB"))
+        tex = np.asarray(texture)
+        if tex.dtype == np.uint8:
+            tex = tex.astype(np.float32) / 255.0
+        tex = tex.astype(np.float32)
+        if tex.shape != (256, 256, 3):
+            raise ValueError(
+                f"cloud texture must be (256, 256, 3), got {tex.shape}"
+            )
+        self._cloud_texture = tex
 
     # ------------------------------------------------------------------
 

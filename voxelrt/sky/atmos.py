@@ -297,9 +297,12 @@ def cloud_texture_channels(cx, cy):
     return low, high, coverage
 
 
-def sample_cloud_density(ray_pos):
-    """renderer/atmos.py:195-224 with the procedural field; same tiling,
-    texel quantization, 0.7 thresholds, height bands and layer gate."""
+def sample_cloud_density(ray_pos, tex=None):
+    """renderer/atmos.py:195-224; same tiling, texel quantization, 0.7
+    thresholds, height bands and layer gate. ``tex`` is an optional user
+    cloud texture ((256, 256, 3) floats in [0, 1] — e.g. the reference's
+    textures/cloud_texture.jpg via Scene.set_cloud_texture); None uses the
+    built-in procedural field."""
     tile_size = 29000.0
     px = ray_pos[..., 0] + tile_size * 0.65
     pz = ray_pos[..., 2] + tile_size * 0.65
@@ -310,7 +313,12 @@ def sample_cloud_density(ray_pos):
 
     relative_height = jnp.sqrt(dot(ray_pos, ray_pos)) - PLANET_R
 
-    tx, ty, tz = cloud_texture_channels(cx, cy)
+    if tex is not None:
+        flat = jnp.clip(cx, 0, 255) * 256 + jnp.clip(cy, 0, 255)
+        t3 = jnp.take(tex.reshape(-1, 3), flat, axis=0)
+        tx, ty, tz = t3[..., 0], t3[..., 1], t3[..., 2]
+    else:
+        tx, ty, tz = cloud_texture_channels(cx, cy)
     tx = jnp.where(tx < 0.7, 0.0, tx)
     ty = jnp.where(ty < 0.7, 0.0, ty)
     tz = jnp.where(tz < 0.7, 0.0, tz)
@@ -335,7 +343,7 @@ def cloud_phase(cos_theta, an):
     return mix(mix(front, back, 0.5), peak, 0.15)
 
 
-def clouds_shadow_od(ray_origin, ray_dir, dither, steps=8):
+def clouds_shadow_od(ray_origin, ray_dir, dither, steps=8, tex=None):
     """renderer/atmos.py:231-260 — exponential-stride shadow march."""
     exponent = 1.6
     step_delta = 24.0 / steps
@@ -351,14 +359,15 @@ def clouds_shadow_od(ray_origin, ray_dir, dither, steps=8):
             rel_h <= CLOUD_HEIGHT + CLOUD_THICKNESS
         )
         od = od + jnp.where(
-            in_layer, sample_cloud_density(dithered) * step_delta, 0.0
+            in_layer, sample_cloud_density(dithered, tex) * step_delta, 0.0
         )
         ray_pos = ray_pos + ray_step
     return od
 
 
 def clouds_scattering(cfg, ray_origin, ray_dir, sun_dir, sun_col,
-                      sun_cone_cos_theta_max, dither, key, cloud_ambient):
+                      sun_cone_cos_theta_max, dither, key, cloud_ambient,
+                      tex=None):
     """renderer/atmos.py:269-349 — one 32-step cloud march pass.
 
     Returns (in_scatter (N,3), transmittance (N,), weighted_dist (N,)).
@@ -386,7 +395,7 @@ def clouds_scattering(cfg, ray_origin, ray_dir, sun_dir, sun_col,
         ray_pos = pos0 + ray_step * jnp.float32(i)
         distance_traveled = dist0 + step_delta * jnp.float32(i + 1)
 
-        density = sample_cloud_density(ray_pos)
+        density = sample_cloud_density(ray_pos, tex)
         live = (density > 0.0) & (transmittance > 1e-4)
 
         step_od = CLOUD_EXTINC * density * step_delta
@@ -405,7 +414,7 @@ def clouds_scattering(cfg, ray_origin, ray_dir, sun_dir, sun_col,
         posb = jnp.broadcast_to(ray_pos, (n_sun, n, 3))
         cos_theta = dot(jnp.broadcast_to(ray_dir, (n_sun, n, 3)), sdirs)
         sun_od = clouds_shadow_od(posb, sdirs, jnp.broadcast_to(dither, (n_sun, n)),
-                                  steps=cfg.cloud_shadow_steps)
+                                  steps=cfg.cloud_shadow_steps, tex=tex)
         sun_atmos_trans = sun_transmittance(posb, sdirs)
         # 4 multiple-scattering octaves (Wrenninge), vectorized: (4, n_sun, n)
         an = octaves[:, None, None]
@@ -418,7 +427,7 @@ def clouds_scattering(cfg, ray_origin, ray_dir, sun_dir, sun_col,
         ) * (sun_col / n_sun) * visible[..., None]
 
         ambient_od = clouds_shadow_od(ray_pos, up, dither,
-                                      steps=cfg.cloud_shadow_steps)
+                                      steps=cfg.cloud_shadow_steps, tex=tex)
         an1 = octaves[:, None]
         amb_amount = jnp.sum(
             an1 * (CLOUD_SCATTER / (4.0 * PI))
@@ -685,7 +694,7 @@ def _texel_dirs(cfg, chunk_idx, chunk):
     return unproject_sky(uv, res)
 
 
-def _cache_key(cfg, sun_dir, sun_col, cos_max):
+def _cache_key(cfg, sun_dir, sun_col, cos_max, cloud_tex=None):
     h = hashlib.sha1()
     fields = (
         cfg.skybox_res, cfg.sky_steps, cfg.sky_sun_samples, cfg.sky_ms_samples,
@@ -697,13 +706,17 @@ def _cache_key(cfg, sun_dir, sun_col, cos_max):
     h.update(np.asarray(sun_dir, np.float32).tobytes())
     h.update(np.asarray(sun_col, np.float32).tobytes())
     h.update(np.float32(cos_max).tobytes())
+    if cloud_tex is not None:
+        h.update(np.asarray(cloud_tex, np.float32).tobytes())
     return h.hexdigest()[:16]
 
 
 def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
-                cache_dir=".skycache", seed=1234) -> SkyData:
+                cache_dir=".skycache", seed=1234, cloud_tex=None) -> SkyData:
     """Stages A+B+C (renderer/pathtracer.py:314-323, scene.py:199-253) in one
-    deterministic, disk-cached precompute."""
+    deterministic, disk-cached precompute. ``cloud_tex``: optional
+    (256, 256, 3) [0, 1] cloud texture (Scene.set_cloud_texture) replacing
+    the procedural density field; hashed into the cache key."""
     def _packed(sky: SkyData) -> SkyData:
         # The Pallas fetch kernel keeps one packed map resident in VMEM:
         # res² × 2 u32 words. Past ~1280² that exceeds the 16 MB scoped
@@ -722,7 +735,7 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
             ),
         )
 
-    key_str = _cache_key(cfg, sun_dir, sun_col, cos_max)
+    key_str = _cache_key(cfg, sun_dir, sun_col, cos_max, cloud_tex)
     cache_path = os.path.join(cache_dir, f"sky_{key_str}.npz")
     # Repo-shipped precomputes (data/skycache/) seed fresh environments: the
     # flagship example6 skybox otherwise costs minutes of one-time precompute
@@ -762,6 +775,8 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
     )(jax.random.fold_in(key, 0))
     cloud_ambient = amb_scatter[0]
 
+    tex_dev = (jnp.asarray(np.asarray(cloud_tex, np.float32))
+               if cloud_tex is not None else None)
     n_texels = res * res
     chunk = min(n_texels, 16384)
     n_chunks = (n_texels + chunk - 1) // chunk
@@ -781,7 +796,7 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
             dither = jax.random.uniform(jax.random.fold_in(kp, 1), (chunk,))
             s, t, dist = clouds_scattering(
                 cfg, cam, dirs, sun_dir, sun_col, cos_max, dither,
-                jax.random.fold_in(kp, 2), cloud_ambient,
+                jax.random.fold_in(kp, 2), cloud_ambient, tex=tex_dev,
             )
             acc_s = acc_s + s * 1.2 / passes
             acc_t = acc_t + saturate(t) / passes
