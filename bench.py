@@ -44,6 +44,10 @@ def build_scene(name, res):
         mod.initialize()
         if hasattr(mod, "draw"):
             mod.draw()
+    # Repeat calls get the module-cached Scene: drop any renderer built
+    # under a previous caller's config (it is cached on first use and would
+    # silently ignore config changes made after it materialized).
+    scene._renderer = None
     return scene
 
 

@@ -111,10 +111,13 @@ class RenderConfig:
     # in place as rays retire, amortizing lock-step straggler pacing
     # (example6 bounce rays: mean 10.7 advances vs 82.6 block max). Tuned on
     # v5e: depth 16 + refill cadence 3 lifts tile-order bounce 44.6 → 78.8
-    # Mrays/s and sun shadow ~85 → ~125 (tools/trace_bench.py --queue).
-    # Coherent primary rays bypass the queue (no straggler spread to hide;
-    # the refill rounds only cost). 1 disables.
-    dda_queue_depth: int = int(os.environ.get("VOXELRT_DDA_QUEUE", "16"))
+    # Mrays/s and sun shadow ~85 → ~125 (tools/trace_bench.py --queue);
+    # depth 32 adds ~2% frame (bounce 81.2) and ships. The queue also
+    # MONETIZES the sun-open NEE certificate (wall-neutral pre-queue):
+    # early-retired shadow rays now free their slot for a refill —
+    # measured +13% on the sun-shadow load. Coherent primary rays bypass
+    # the queue (no straggler spread to hide). 1 disables.
+    dda_queue_depth: int = int(os.environ.get("VOXELRT_DDA_QUEUE", "32"))
     dda_refill_every: int = 3
 
     # Motion-phase reprojection backend: 'pallas' fuses the current-color

@@ -182,11 +182,20 @@ def _fetch_hit_colors(px, py, pz, hit_flag, occm_ref, occb_ref, colors_ref,
 
     def cbody(c):
         col, sid, remaining, ns = c
+        # Serve TWO adjacent slabs per iteration: hit sets are morton-rank
+        # local, so the next distinct slab is very often sid+1 — one extra
+        # (unconditional) gather is cheaper than another loop trip's
+        # scalar min-reduce + control overhead.
         wanted = (remaining != 0) & (slab_id == sid)
         gv = _gather_1024(colors_ref[pl.ds(sid * 8, 8), :],
                           word_idx & 1023)
         col = jnp.where(wanted, gv, col)
-        remaining = remaining & ~wanted.astype(jnp.int32)
+        wanted2 = (remaining != 0) & (slab_id == sid + 1)
+        # clamp the slice for the last slab (no lane has slab_id there)
+        s2 = jnp.minimum(sid * 8 + 8, colors_ref.shape[0] - 8)
+        gv2 = _gather_1024(colors_ref[pl.ds(s2, 8), :], word_idx & 1023)
+        col = jnp.where(wanted2, gv2, col)
+        remaining = remaining & ~(wanted | wanted2).astype(jnp.int32)
         nsid = jnp.min(jnp.where(remaining != 0, slab_id, BIGI))
         return col, nsid, remaining, ns + 1
 
