@@ -57,7 +57,7 @@ def main():
                     help="example scene module (the BASELINE north star is example6)")
     ap.add_argument("--res", default="1280x720")
     ap.add_argument("--spp", type=int, default=512, help="target spp")
-    ap.add_argument("--measure-spp", type=int, default=16)
+    ap.add_argument("--measure-spp", type=int, default=32)
     ap.add_argument("--full", action="store_true",
                     help="actually run all --spp samples")
     ap.add_argument("--out", default=None, help="optionally write the PNG")

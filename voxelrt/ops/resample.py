@@ -37,9 +37,11 @@ SUBLANES = 8
 BLOCK = SUBLANES * LANES
 
 # VMEM budget gate: texels per source table above which callers must fall
-# back to the XLA gather path (6-7 tables of one u32 word per texel plus
-# block buffers must fit in ~16 MB VMEM).
-MAX_TEXELS = 300_000
+# back to the XLA gather path (6 tables of one u32 word per texel plus
+# block buffers must fit in ~16 MB VMEM). 530K covers 1080p motion at
+# render-scale 0.5 (960×540 = 518K texels ⇒ ~12.5 MB of tables — verified
+# to compile and run on v5e).
+MAX_TEXELS = 530_000
 
 
 def _bf16_bits(x):

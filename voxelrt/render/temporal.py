@@ -213,7 +213,7 @@ def _moving_taps(cfg, params, state_color, history, gbuffer, texcoord, rp,
     ah = max(int(h * render_scale), 1)
     use_pallas = (
         cfg.use_pallas_dda and cfg.motion_resample == "pallas"
-        and aw * ah <= 300_000
+        and aw * ah <= 530_000
     )
     if not use_pallas:
         current = _bilinear(state_color, texcoord, aw, ah)
