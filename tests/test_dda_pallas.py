@@ -170,6 +170,69 @@ def test_queued_wavefront_matches_plain():
                                   np.asarray(sb.distance))
 
 
+def test_in_kernel_nee_matches_two_dispatch():
+    """nee= (in-kernel NEE: a retired primary converts in place into its
+    sun-cone shadow ray) must reproduce the two-dispatch formulation exactly:
+    identical primary outputs, and the same visibility verdict as a separate
+    any-hit sun_open dispatch from the offset hit points."""
+    import math
+
+    from voxelrt.ops.accel import add_sun_open_table
+    from voxelrt.ops.sampling import (make_orthonormal_basis,
+                                      sample_cone_oriented)
+
+    res = 32
+    world, tables, pyr, arrays = make_setup(res, 0.10, 11)
+    L = np.array([1.0, 1.0, -1.0])
+    L /= np.linalg.norm(L)
+    cone_cos = math.cos(0.025 * 0.5)
+    tables = add_sun_open_table(tables, world.material, L, cone_cos)
+    rng = np.random.default_rng(77)
+    n = 4096
+    o = rng.uniform(0, res, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    u = rng.random((n, 2)).astype(np.float32)
+    EPS = 1e-4
+    eps_grid = EPS * 16.0
+    alt = np.full(n, np.inf, np.float32)  # no floor plane in this test
+
+    Lj = jnp.asarray(L, jnp.float32)
+    X, Y = make_orthonormal_basis(Lj)
+    nee = dict(u=jnp.asarray(u), alt_t=jnp.asarray(alt), light_dir=Lj,
+               tangent=X, bitangent=Y, cone_cos=cone_cos,
+               eps_grid=eps_grid, shadow_tmin=EPS)
+    a = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
+                        res, interpret=True, queue_depth=4, refill_every=2,
+                        nee=nee)
+    b = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
+                        res, interpret=True)
+    for f in ("distance", "ipos", "normal", "color_word", "iters"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            err_msg=f"primary {f}")
+
+    bd = np.asarray(b.distance)
+    hit = np.isfinite(bd)
+    nrm = np.asarray(b.normal)
+    spos = o + bd[:, None] * d + nrm * eps_grid
+    ld = np.asarray(sample_cone_oriented(
+        cone_cos, jnp.broadcast_to(Lj, (n, 3)), jnp.asarray(u)))
+    ndl = (ld * nrm).sum(1)
+    mask = hit & (ndl > 0)
+    sh = raytrace_pallas(
+        tables,
+        jnp.asarray(np.where(hit[:, None], spos, 0).astype(np.float32)),
+        jnp.asarray(ld), EPS,
+        jnp.asarray(np.where(mask, np.inf, 0.0).astype(np.float32)),
+        res, interpret=True, any_hit=True, fetch_colors=False,
+        use_sun_open=True)
+    vis_ref = mask & ~np.isfinite(np.asarray(sh.distance))
+    vis_got = np.asarray(a.nee_visible) != 0
+    assert mask.sum() > 500
+    np.testing.assert_array_equal(vis_got[mask], vis_ref[mask])
+
+
 def test_two_phase_resume_equals_single_phase():
     """Two-phase traversal (phase-1 advance budget + resume_state) must
     reproduce the single-phase trace exactly, with the resumed phase getting

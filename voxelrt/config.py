@@ -54,6 +54,15 @@ class RenderConfig:
     # the reference-exact behavior.
     nee_transmittance: str = "center"  # 'center' | 'per_ray'
 
+    # IN-KERNEL NEE: the traversal kernel converts a retired primary/bounce
+    # ray in place into its sun-cone shadow ray (sharing the queue slot and
+    # VMEM working set) instead of the renderer issuing a separate any-hit
+    # shadow dispatch per depth (ops/dda_pallas.py, ``nee=``). Equality with
+    # the two-dispatch formulation is tested; applies on the unsorted Pallas
+    # path with a directional light and no ReSTIR (those keep the explicit
+    # dispatch).
+    nee_in_kernel: bool = False
+
     # Traversal bound (renderer/raytracer.py:103).
     max_dda_advances: int = 512
 

@@ -220,21 +220,30 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      n_dist4_words=0, use_dist4=False, use_palette=False,
                      use_xslab=True, fetch_cadence=2,
                      resolve_steps=CELL_RESOLVE_STEPS,
-                     queue_depth=1, refill_every=4,
+                     queue_depth=1, refill_every=4, nee_mode=False,
                      slow_after=48, debug_totals=False, resume=False):
     C = queue_depth
-    queued = C > 1
+    queued = C > 1 or nee_mode
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
      tmin_ref, tmax_ref) = refs[:8]
+    base_rays = 8
+    if nee_mode:
+        # In-kernel NEE (see raytrace_pallas docstring): per-ray cone
+        # uniforms + the floor-surface alternative hit distance (grid
+        # units; inf = no floor), plus an SMEM row of launch scalars
+        # [L, X, Y, cone_cos, eps_grid, shadow_tmin] (the constant sun
+        # frame, so the cone sample is pure per-lane ALU).
+        u1_ref, u2_ref, alt_ref, nee_ref = refs[8:12]
+        base_rays = 12
     if resume:
         # Resume inputs: phase-1 exit state (t doubles as the new tmin via
         # tmin_ref; normals carry the last advance's face; act flags rays
         # still unfinished after the phase-1 advance budget).
         assert not queued
-        nxi_ref, nyi_ref, nzi_ref, acti_ref = refs[8:12]
-        tbl0 = 12
+        nxi_ref, nyi_ref, nzi_ref, acti_ref = refs[base_rays:base_rays + 4]
+        tbl0 = base_rays + 4
     else:
-        tbl0 = 8
+        tbl0 = base_rays
     (lod2_ref, solid_ref, dist3_ref, dist4_ref, rankb_ref, occm_ref,
      occb_ref, mlo_ref, mhi_ref, colors_ref, pal_ref,
      sun_ref) = refs[tbl0 : tbl0 + 12]
@@ -354,6 +363,13 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                         for r, o in zip(all_refs, outs)]
             return outs
 
+        def load_chunk_one(ref, cursor):
+            """Select-chain load of ONE field at per-slot chunk ``cursor``."""
+            out = jnp.zeros(ref.shape[2:], ref.dtype)
+            for k in range(C):
+                out = jnp.where(cursor == k, ref[0, k], out)
+            return out
+
         zf = jnp.zeros(ox_ref.shape[2:], jnp.float32)
         cursor0 = jnp.zeros(ox_ref.shape[2:], jnp.int32)
         f = load_chunk(cursor0, [zf] * 8)
@@ -387,8 +403,9 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         )
 
     # Each iteration is an advance, a cell resolve, or a (deferral) stall;
-    # stalls alternate with fetches so total ≤ ~2× work iterations.
-    max_total = (2 * max_advances + 64) * C
+    # stalls alternate with fetches so total ≤ ~2× work iterations. Each
+    # queue entry may run a primary AND a shadow trace in nee_mode.
+    max_total = (2 * max_advances + 64) * C * (2 if nee_mode else 1)
 
     def cond(s):
         # n_live is the live count at the START of the previous body run (one
@@ -422,6 +439,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         active = (s["af"] & (1 << 16)) != 0
         s_hit = (s["af"] >> 17) & 1
         s_exh = (s["af"] >> 18) & 1
+        s_phase = ((s["af"] >> 19) & 1) if nee_mode else None
 
         # A ray that stepped outside the grid has left the volume — the
         # far-clip float comparison alone can miss the exit face by an ulp,
@@ -448,13 +466,16 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                   >> ((cell & 15) * 2)) & 3
             occ2 = v4 == 0
             w2 = None
-        elif use_sun_open:
+        elif use_sun_open or nee_mode:
             # Sun-shadow mode: a ray standing in a SUN-OPEN cell provably
             # escapes (ops.accel.build_sun_open_bits certifies the whole NEE
             # cone from anywhere in the cell) — retire it as a miss now.
-            # Sharing the LOD2 scan makes the check nearly free.
+            # Sharing the LOD2 scan makes the check nearly free. In nee_mode
+            # only the shadow-phase lanes may take the early-out.
             w2, wsun = _gather_words2(lod2_ref, sun_ref, cw, n_lod2_words)
             sun_esc = ((wsun >> cb) & 1) != 0
+            if nee_mode:
+                sun_esc = sun_esc & (s_phase != 0)
             miss = miss | (live & inb & sun_esc)
             live = active & ~miss
             occ2 = ((w2 >> cb) & 1) != 0
@@ -689,6 +710,8 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         out["af"] = (
             o_adv | (o_active << 16) | (o_hit << 17) | (o_exh << 18)
         )
+        if nee_mode:
+            out["af"] = out["af"] | (s_phase << 19)  # phase flips at refill
         out["total"] = s["total"] + 1
 
         if queued:
@@ -697,36 +720,128 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             # their packed result to their chunk's output row, then load the
             # next ray from the slot's queue and re-run the entry init. The
             # whole round is a static select-chain over C — no gathers.
+            # In nee_mode a retired PRIMARY ray with a surface (voxel hit or
+            # a closer floor crossing) first CONVERTS in place into its NEE
+            # shadow ray (phase 1, same queue slot); a retired SHADOW ray
+            # or-s its visibility verdict into the already-written output af
+            # and then advances the queue.
             do_ref = (s["total"] % refill_every) == (refill_every - 1)
             retired = (((out["af"] >> 16) & 1) == 0) & (s["cursor"] < C)
+            if nee_mode:
+                o_phase = (out["af"] >> 19) & 1
+                prim_ret = retired & (o_phase == 0)
+                shad_ret = retired & (o_phase != 0)
+            else:
+                prim_ret = retired
             out_t = out["t"]
             out_word = out["word"]
             out_af = out["af"]
+
+            if nee_mode:
+                # Decide conversion + build the shadow ray BEFORE the ref
+                # writes (shared by the write closure and the state update).
+                f_px2, f_py2, f_pz2, hnx, hny, hnz = unpack_word(out_word)
+                o_hit2 = (out_af >> 17) & 1
+                # flip the hit normal toward the ray (raytracer.py:151-153)
+                ndotd = dx * hnx + dy * hny + dz * hnz
+                flip2 = ndotd > 0.0
+                hnx = jnp.where(flip2, -hnx, hnx)
+                hny = jnp.where(flip2, -hny, hny)
+                hnz = jnp.where(flip2, -hnz, hnz)
+                alt = load_chunk_one(alt_ref, s["cursor"])
+                have_vox = (o_hit2 != 0) & (out_t < BIG)
+                use_alt = jnp.isfinite(alt) & (alt < jnp.where(
+                    have_vox, out_t, BIG))
+                surf = prim_ret & (have_vox | use_alt)
+                # floor normal (0, ±1): (0,1,0) flipped toward the ray
+                fny = jnp.where(dy > 0.0, -1.0, 1.0)
+                snx = jnp.where(use_alt, 0.0, hnx)
+                sny = jnp.where(use_alt, fny, hny)
+                snz = jnp.where(use_alt, 0.0, hnz)
+                st = jnp.where(use_alt, alt, out_t)
+                epsg = nee_ref[10]
+                spx = ox + dx * st + snx * epsg
+                spy = oy + dy * st + sny * epsg
+                spz = oz + dz * st + snz * epsg
+                # cone sample around the constant sun frame (exactly
+                # ops.sampling.sample_cone_oriented on precomputed basis)
+                uu1 = load_chunk_one(u1_ref, s["cursor"])
+                uu2 = load_chunk_one(u2_ref, s["cursor"])
+                cos_t = (1.0 - uu1) + uu1 * nee_ref[9]
+                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                phi = jnp.float32(2.0 * np.pi) * uu2
+                cphi = jnp.cos(phi) * sin_t
+                sphi = jnp.sin(phi) * sin_t
+                ldx = cphi * nee_ref[3] + sphi * nee_ref[6] + cos_t * nee_ref[0]
+                ldy = cphi * nee_ref[4] + sphi * nee_ref[7] + cos_t * nee_ref[1]
+                ldz = cphi * nee_ref[5] + sphi * nee_ref[8] + cos_t * nee_ref[2]
+                ndl = ldx * snx + ldy * sny + ldz * snz
+                # conservative margin: the caller recomputes ndl in XLA and
+                # masks visibility with its own exact ndl > 0; tracing a few
+                # extra borderline rays here is harmless, missing one is not
+                conv = surf & (ndl > -1e-3)
 
             @pl.when(do_ref)
             def _write_retired():
                 cur = s["cursor"]
                 for k in range(C):
-                    selk = retired & (cur == k)
+                    selk = prim_ret & (cur == k)
                     t_ref[0, k] = jnp.where(selk, out_t, t_ref[0, k])
                     word_ref[0, k] = jnp.where(selk, out_word, word_ref[0, k])
                     af_ref[0, k] = jnp.where(selk, out_af, af_ref[0, k])
+                if nee_mode:
+                    # shadow verdict: visible ⇔ escaped (no hit, no budget
+                    # exhaustion — matching the two-dispatch formulation
+                    # where a finite distance means occluded)
+                    vis = ((((out_af >> 17) & 1) == 0)
+                           & (((out_af >> 18) & 1) == 0)).astype(jnp.int32)
+                    nee_bits = (1 << 20) | (vis << 21)
+                    for k in range(C):
+                        selk = shad_ret & (cur == k)
+                        af_ref[0, k] = jnp.where(
+                            selk, af_ref[0, k] | nee_bits, af_ref[0, k])
+                    # primaries with no surface (sky escape / dead input):
+                    # mark nee done + invisible right at the primary write
+                    novis = prim_ret & ~conv
+                    for k in range(C):
+                        selk = novis & (cur == k)
+                        af_ref[0, k] = jnp.where(
+                            selk, af_ref[0, k] | (1 << 20), af_ref[0, k])
 
             def do_refill():
-                ncur = jnp.where(retired, s["cursor"] + 1, s["cursor"])
-                loadable = retired & (ncur < C)
+                if nee_mode:
+                    advance = (prim_ret & ~conv) | shad_ret
+                else:
+                    advance = prim_ret
+                ncur = jnp.where(advance, s["cursor"] + 1, s["cursor"])
+                loadable = advance & (ncur < C)
                 cur_fields = (ox, oy, oz, dx, dy, dz,
                               jnp.zeros_like(ox), jnp.zeros_like(ox))
                 nf = load_chunk(jnp.where(loadable, ncur, -1), cur_fields)
                 nox, noy, noz, ndx, ndy, ndz, ntmin, ntmax = nf
+                if nee_mode:
+                    # converting lanes load the in-place shadow ray instead
+                    nox = jnp.where(conv, spx, nox)
+                    noy = jnp.where(conv, spy, noy)
+                    noz = jnp.where(conv, spz, noz)
+                    ndx = jnp.where(conv, ldx, ndx)
+                    ndy = jnp.where(conv, ldy, ndy)
+                    ndz = jnp.where(conv, ldz, ndz)
+                    ntmin = jnp.where(conv, nee_ref[11], ntmin)
+                    ntmax = jnp.where(conv, jnp.float32(3.0e38), ntmax)
                 ti, wordi, afi, fari, ivxi, ivyi, ivzi = init_rays(
                     nox, noy, noz, ndx, ndy, ndz, ntmin, ntmax)
-                sel = loadable
+                sel = (loadable | conv) if nee_mode else loadable
+                if nee_mode:
+                    afi = afi | (conv.astype(jnp.int32) << 19)
 
                 def mrg(new, old):
                     return jnp.where(sel, new, old)
 
-                n_undone = jnp.max((ncur < C).astype(jnp.int32))
+                undone = ncur < C
+                if nee_mode:
+                    undone = undone | conv
+                n_undone = jnp.max(undone.astype(jnp.int32))
                 return (
                     mrg(ti, out_t), mrg(wordi, out_word), mrg(afi, out_af),
                     mrg(fari, far),
@@ -827,6 +942,7 @@ class PallasTraceResult(NamedTuple):
     iters: jax.Array
     color_word: jax.Array  # u32 packed r|g<<8|b<<16|mat<<24 (0 unless hit)
     active: jax.Array  # i32: 1 = unfinished (advance budget hit); resumable
+    nee_visible: jax.Array | None = None  # in-kernel NEE verdict (nee=...)
 
 
 @functools.partial(
@@ -846,6 +962,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     use_dist4: bool | None = None,
                     resolve_steps: int = CELL_RESOLVE_STEPS,
                     queue_depth: int = 1, refill_every: int = 4,
+                    nee=None,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
@@ -866,6 +983,20 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     normal of its last advance; rays with active == 0 exit immediately.
     ``ray_min_t`` is ignored for resumed rays (t takes its place).
 
+    ``nee``: optional IN-KERNEL NEXT-EVENT ESTIMATION. A dict with per-ray
+    cone uniforms ``u`` (N, 2), the floor-surface alternative hit distance
+    ``alt_t`` (N,) in grid units (inf = none; when closer than the voxel
+    hit, the shadow ray starts from the floor crossing instead), the
+    normalized constant sun frame ``light_dir``/``tangent``/``bitangent``
+    (3,) each, and scalars ``cone_cos``, ``eps_grid`` (surface offset) and
+    ``shadow_tmin``. When a primary ray retires with a surface, the kernel
+    converts it IN PLACE into its sun-cone shadow ray (sharing the queue
+    slot and VMEM working set) and reports the verdict in
+    ``result.nee_visible`` (1 = the cone sample reaches the sky; floor
+    occlusion of the shadow ray itself is the caller's cheap closed-form
+    check). Replaces the separate any-hit shadow dispatch per depth.
+    Requires closest-hit mode (not any_hit/resume/debug).
+
     ``queue_depth`` C > 1 enables the QUEUED WAVEFRONT: each (row, lane)
     slot holds a queue of C rays and reloads in place the moment its
     current ray retires (checked every ``refill_every`` iterations), so a
@@ -880,7 +1011,11 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     assert 32 % (grid_res // 4) == 0, grid_res
     # adv occupies 16 bits of the packed per-ray loop state.
     assert max_advances + CELL_RESOLVE_STEPS < (1 << 16), max_advances
-    queued = queue_depth > 1
+    nee_mode = nee is not None
+    if nee_mode:
+        assert not any_hit and fetch_colors and not use_sun_open
+        assert resume_state is None and not debug_totals
+    queued = queue_depth > 1 or nee_mode
     if queued:
         assert resume_state is None and not debug_totals
     block_rays = block_rows * LANES * (queue_depth if queued else 1)
@@ -921,6 +1056,21 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     ins = [blk(o[:, 0]), blk(o[:, 1]), blk(o[:, 2]),
            blk(d[:, 0]), blk(d[:, 1]), blk(d[:, 2]),
            blk(tmin), blk(tmax)]
+    n_ray_ins = 8
+    if nee_mode:
+        u = nee["u"]
+        ins += [blk(prep(u[:, 0].astype(jnp.float32))),
+                blk(prep(u[:, 1].astype(jnp.float32))),
+                blk(prep(nee["alt_t"].astype(jnp.float32)))]
+        n_ray_ins = 11
+        nee_scalars = jnp.concatenate([
+            jnp.asarray(nee["light_dir"], jnp.float32).reshape(3),
+            jnp.asarray(nee["tangent"], jnp.float32).reshape(3),
+            jnp.asarray(nee["bitangent"], jnp.float32).reshape(3),
+            jnp.asarray([nee["cone_cos"]], jnp.float32).reshape(1),
+            jnp.asarray([nee["eps_grid"]], jnp.float32).reshape(1),
+            jnp.asarray([nee["shadow_tmin"]], jnp.float32).reshape(1),
+        ])
     if resume:
         ins += [blk(prep(rs_n[:, 0])), blk(prep(rs_n[:, 1])),
                 blk(prep(rs_n[:, 2])),
@@ -978,6 +1128,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                                  jnp.int32, jnp.int32, jnp.int32)]
         n_out = 10
 
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     kernel = functools.partial(
         _traverse_kernel, grid_res=grid_res, max_advances=max_advances,
         fetch_colors=fetch_colors, any_hit=any_hit,
@@ -988,13 +1140,17 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         use_xslab=use_xslab, fetch_cadence=fetch_cadence,
         resolve_steps=resolve_steps,
         queue_depth=queue_depth, refill_every=refill_every,
+        nee_mode=nee_mode,
         debug_totals=debug_totals, resume=resume,
     )
 
+    nee_ins = [nee_scalars] if nee_mode else []
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[ray_spec] * (12 if resume else 8) + [
+        in_specs=[ray_spec] * n_ray_ins
+        + ([smem_spec] if nee_mode else [])
+        + ([ray_spec] * 4 if resume else []) + [
             table_spec(lod2.shape[0]), table_spec(solid.shape[0]),
             table_spec(dist3.shape[0]), table_spec(dist4.shape[0]),
             table_spec(rankb.shape[0]),
@@ -1009,8 +1165,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(*ins, lod2, solid, dist3, dist4, rankb, occm, occb, mlo, mhi, colors,
-      pal, sun)
+    )(*ins, *nee_ins, lod2, solid, dist3, dist4, rankb, occm, occb, mlo,
+      mhi, colors, pal, sun)
 
     if queued:
         # Unpack the per-chunk packed outputs in XLA (cheap elementwise).
@@ -1021,6 +1177,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         iz = ((word >> 16) & 255) - 1
         it = af & 0xFFFF
         act = ((af >> 16) & 1) | ((af >> 18) & 1)
+        nee_vis = ((af >> 21) & 1) if nee_mode else None
         if any_hit:
             normal = jnp.zeros((n, 3), jnp.float32)
         else:
@@ -1041,6 +1198,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             iters=it,
             color_word=col.astype(jnp.uint32),
             active=act,
+            nee_visible=nee_vis,
         )
 
     t, ix, iy, iz, nx, ny, nz, it, col, act = [

@@ -261,7 +261,8 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
 
 
 def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
-             coherent: bool = False, sun_shadow: bool = False) -> Hit:
+             coherent: bool = False, sun_shadow: bool = False,
+             nee_u=None):
     """Closest hit of floor plane + voxel grid (renderer/pathtracer.py:218-244).
 
     mask: rays to trace; others are skipped inside the traversal loop.
@@ -270,6 +271,13 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
     rays sampled within the directional-light NEE cone, enabling the baked
     sun-visibility early-out (ops.accel.build_sun_open_bits) — only valid
     for that cone, so ReSTIR revalidation rays must not set it.
+
+    ``nee_u``: (N, 2) cone uniforms enabling IN-KERNEL NEE (the traversal
+    kernel itself traces each surviving surface's sun-cone shadow ray — see
+    ops/dda_pallas.py). Returns (Hit, nee_visible) then; plain Hit
+    otherwise. The floor-plane surface case is handled by passing the floor
+    crossing as the kernel's alternative shadow origin; floor OCCLUSION of
+    the shadow ray stays a closed-form check in the caller.
     """
     n = pos.shape[0]
     closest = jnp.full((n,), jnp.float32(INF))
@@ -303,6 +311,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
     color_word = None
     if cfg.use_pallas_dda:
         if cfg.sort_rays and not coherent:
+            assert nee_u is None
             tr = _trace_voxels_sorted(
                 cfg, scene.tables, eye_scaled, d, EPS, mask, shadow_ray,
                 sun_shadow=sun_shadow,
@@ -310,17 +319,36 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
         else:
             from voxelrt.ops.dda_pallas import raytrace_pallas
 
+            nee = None
+            if nee_u is not None:
+                # floor crossing as the kernel's alternative shadow origin
+                # (grid units; the 10-unit extent bound is the reference's
+                # floor clamp, renderer/pathtracer.py:152-190)
+                floor_valid = mask & (floor_dist > EPS) & (extent < 10.0)
+                alt_t = jnp.where(floor_valid, floor_dist * inv_size,
+                                  jnp.float32(jnp.inf))
+                ldir = jnp.asarray(params.light_direction, jnp.float32)
+                tang_l, bitang_l = make_orthonormal_basis(ldir)
+                nee = dict(
+                    u=nee_u, alt_t=alt_t, light_dir=ldir, tangent=tang_l,
+                    bitangent=bitang_l,
+                    cone_cos=params.light_cone_cos_theta_max,
+                    eps_grid=EPS * inv_size, shadow_tmin=EPS,
+                )
             tr = raytrace_pallas(
                 scene.tables, eye_scaled, d, EPS, tmax, cfg.grid_res,
                 cfg.max_dda_advances, fetch_colors=not shadow_ray,
                 any_hit=shadow_ray, use_sun_open=sun_shadow,
-                queue_depth=1 if coherent else cfg.dda_queue_depth,
+                queue_depth=(1 if coherent and nee is None
+                             else cfg.dda_queue_depth),
                 refill_every=cfg.dda_refill_every,
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
+                nee=nee,
             )
         color_word = tr.color_word
     else:
+        assert nee_u is None, "in-kernel NEE requires the Pallas backend"
         pyr = OccupancyPyramid(scene.occ_words, cfg.grid_res, cfg.n_lods)
         tr = raytrace(pyr, eye_scaled, d, EPS, tmax, cfg.max_dda_advances)
     vox_dist = tr.distance * cfg.voxel_dx
@@ -341,7 +369,10 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
         hit_light = jnp.where(vox_ok, v_is_light, hit_light)
         mat_id = jnp.where(vox_ok, v_mat, mat_id)
 
-    return Hit(closest, normal, albedo, hit_light, mat_id, tr.iters)
+    hit_out = Hit(closest, normal, albedo, hit_light, mat_id, tr.iters)
+    if nee_u is not None:
+        return hit_out, tr.nee_visible
+    return hit_out
 
 
 def get_cast_dir(cfg, params, key, u, v, camera_is_moving: bool,
@@ -501,14 +532,28 @@ def trace_sample(cfg, scene, params, key, u, v,
         throughput_after_rc = jnp.ones((n, 3), jnp.float32)
         rc_bounce_lobe_id = jnp.zeros((n,), jnp.int32)
 
+    # In-kernel NEE: the traversal kernel itself traces each surface's
+    # sun-cone shadow ray (ops/dda_pallas.py nee=...), replacing the
+    # separate any-hit dispatch per depth. Only on the unsorted Pallas path
+    # with a directional light; ReSTIR keeps explicit dispatches (its
+    # revalidation rays are not sun-cone samples).
+    use_knee = (cfg.nee_in_kernel and cfg.use_pallas_dda
+                and cfg.use_directional_light and not cfg.use_restir_pt
+                and not cfg.sort_rays)
+
     for depth in range(cfg.max_ray_depth):
         base = 8 * depth
         u_nee = draws[:, base : base + 2]
         u_bsdf = draws[:, base + 2 : base + 5]
         u_sky = draws[:, base + 5 : base + 8]
 
-        hit = next_hit(cfg, scene, params, pos, d, tracing, shadow_ray=False,
-                       coherent=depth == 0)
+        if use_knee:
+            hit, knee_vis = next_hit(cfg, scene, params, pos, d, tracing,
+                                     shadow_ray=False, coherent=depth == 0,
+                                     nee_u=u_nee)
+        else:
+            hit = next_hit(cfg, scene, params, pos, d, tracing,
+                           shadow_ray=False, coherent=depth == 0)
         hit_mat = fetch_material(scene.mat_params, hit.mat_id, hit.albedo,
                                  used_ids=cfg.material_ids)
         finite_closest = jnp.isfinite(hit.closest)
@@ -630,9 +675,20 @@ def trace_sample(cfg, scene, params, key, u, v,
                 )
 
             shadow_mask = surf & (ndl > 0.0)
-            sh = next_hit(cfg, scene, params, spos, light_dir, shadow_mask,
-                          shadow_ray=True, sun_shadow=True)
-            visible = shadow_mask & ~jnp.isfinite(sh.closest)
+            if use_knee:
+                # kernel verdict covers voxel occlusion; the floor plane is
+                # a closed-form check (renderer/pathtracer.py:152-190 quirky
+                # extent bound included)
+                dyl = light_dir[..., 1]
+                fd = (params.floor_height - spos[..., 1]) / jnp.where(
+                    dyl == 0.0, 1e-20, dyl)
+                hpf = spos + light_dir * fd[..., None]
+                floor_occ = (fd > EPS) & (length(hpf - hpf[..., 1:2]) < 10.0)
+                visible = shadow_mask & (knee_vis != 0) & ~floor_occ
+            else:
+                sh = next_hit(cfg, scene, params, spos, light_dir,
+                              shadow_mask, shadow_ray=True, sun_shadow=True)
+                visible = shadow_mask & ~jnp.isfinite(sh.closest)
             nee_visible = visible.astype(jnp.float32)
 
             light_mis = jnp.float32(1.0)
