@@ -738,48 +738,55 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             out_af = out["af"]
 
             if nee_mode:
-                # Decide conversion + build the shadow ray BEFORE the ref
-                # writes (shared by the write closure and the state update).
-                f_px2, f_py2, f_pz2, hnx, hny, hnz = unpack_word(out_word)
-                o_hit2 = (out_af >> 17) & 1
-                # flip the hit normal toward the ray (raytracer.py:151-153)
-                ndotd = dx * hnx + dy * hny + dz * hnz
-                flip2 = ndotd > 0.0
-                hnx = jnp.where(flip2, -hnx, hnx)
-                hny = jnp.where(flip2, -hny, hny)
-                hnz = jnp.where(flip2, -hnz, hnz)
-                alt = load_chunk_one(alt_ref, s["cursor"])
-                have_vox = (o_hit2 != 0) & (out_t < BIG)
-                use_alt = jnp.isfinite(alt) & (alt < jnp.where(
-                    have_vox, out_t, BIG))
-                surf = prim_ret & (have_vox | use_alt)
-                # floor normal (0, ±1): (0,1,0) flipped toward the ray
-                fny = jnp.where(dy > 0.0, -1.0, 1.0)
-                snx = jnp.where(use_alt, 0.0, hnx)
-                sny = jnp.where(use_alt, fny, hny)
-                snz = jnp.where(use_alt, 0.0, hnz)
-                st = jnp.where(use_alt, alt, out_t)
-                epsg = nee_ref[10]
-                spx = ox + dx * st + snx * epsg
-                spy = oy + dy * st + sny * epsg
-                spz = oz + dz * st + snz * epsg
-                # cone sample around the constant sun frame (exactly
-                # ops.sampling.sample_cone_oriented on precomputed basis)
-                uu1 = load_chunk_one(u1_ref, s["cursor"])
-                uu2 = load_chunk_one(u2_ref, s["cursor"])
-                cos_t = (1.0 - uu1) + uu1 * nee_ref[9]
-                sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-                phi = jnp.float32(2.0 * np.pi) * uu2
-                cphi = jnp.cos(phi) * sin_t
-                sphi = jnp.sin(phi) * sin_t
-                ldx = cphi * nee_ref[3] + sphi * nee_ref[6] + cos_t * nee_ref[0]
-                ldy = cphi * nee_ref[4] + sphi * nee_ref[7] + cos_t * nee_ref[1]
-                ldz = cphi * nee_ref[5] + sphi * nee_ref[8] + cos_t * nee_ref[2]
-                ndl = ldx * snx + ldy * sny + ldz * snz
-                # conservative margin: the caller recomputes ndl in XLA and
-                # masks visibility with its own exact ndl > 0; tracing a few
-                # extra borderline rays here is harmless, missing one is not
-                conv = surf & (ndl > -1e-3)
+                def nee_conv_data():
+                    """Conversion decision + the in-place shadow ray. Called
+                    only inside the do_ref-gated closures so the ~60-op cone
+                    build never runs on non-refill iterations."""
+                    _, _, _, hnx, hny, hnz = unpack_word(out_word)
+                    o_hit2 = (out_af >> 17) & 1
+                    # flip the hit normal toward the ray (raytracer.py:151-153)
+                    flip2 = (dx * hnx + dy * hny + dz * hnz) > 0.0
+                    hnx_ = jnp.where(flip2, -hnx, hnx)
+                    hny_ = jnp.where(flip2, -hny, hny)
+                    hnz_ = jnp.where(flip2, -hnz, hnz)
+                    alt = load_chunk_one(alt_ref, s["cursor"])
+                    have_vox = (o_hit2 != 0) & (out_t < BIG)
+                    use_alt = jnp.isfinite(alt) & (alt < jnp.where(
+                        have_vox, out_t, BIG))
+                    surf = prim_ret & (have_vox | use_alt)
+                    # floor normal (0, ±1): (0,1,0) flipped toward the ray
+                    fny = jnp.where(dy > 0.0, -1.0, 1.0)
+                    snx = jnp.where(use_alt, 0.0, hnx_)
+                    sny = jnp.where(use_alt, fny, hny_)
+                    snz = jnp.where(use_alt, 0.0, hnz_)
+                    st = jnp.where(use_alt, alt, out_t)
+                    epsg = nee_ref[10]
+                    spx = ox + dx * st + snx * epsg
+                    spy = oy + dy * st + sny * epsg
+                    spz = oz + dz * st + snz * epsg
+                    # cone sample around the constant sun frame (exactly
+                    # ops.sampling.sample_cone_oriented on the precomputed
+                    # basis)
+                    uu1 = load_chunk_one(u1_ref, s["cursor"])
+                    uu2 = load_chunk_one(u2_ref, s["cursor"])
+                    cos_t = (1.0 - uu1) + uu1 * nee_ref[9]
+                    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                    phi = jnp.float32(2.0 * np.pi) * uu2
+                    cphi = jnp.cos(phi) * sin_t
+                    sphi = jnp.sin(phi) * sin_t
+                    ldx = (cphi * nee_ref[3] + sphi * nee_ref[6]
+                           + cos_t * nee_ref[0])
+                    ldy = (cphi * nee_ref[4] + sphi * nee_ref[7]
+                           + cos_t * nee_ref[1])
+                    ldz = (cphi * nee_ref[5] + sphi * nee_ref[8]
+                           + cos_t * nee_ref[2])
+                    ndl = ldx * snx + ldy * sny + ldz * snz
+                    # conservative margin: the caller recomputes ndl in XLA
+                    # and masks visibility with its own exact ndl > 0;
+                    # tracing a few extra borderline rays here is harmless,
+                    # missing one is not
+                    conv = surf & (ndl > -1e-3)
+                    return conv, (spx, spy, spz), (ldx, ldy, ldz)
 
             @pl.when(do_ref)
             def _write_retired():
@@ -790,6 +797,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                     word_ref[0, k] = jnp.where(selk, out_word, word_ref[0, k])
                     af_ref[0, k] = jnp.where(selk, out_af, af_ref[0, k])
                 if nee_mode:
+                    conv, _, _ = nee_conv_data()
                     # shadow verdict: visible ⇔ escaped (no hit, no budget
                     # exhaustion — matching the two-dispatch formulation
                     # where a finite distance means occluded)
@@ -810,6 +818,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
 
             def do_refill():
                 if nee_mode:
+                    conv, (spx, spy, spz), (ldx, ldy, ldz) = nee_conv_data()
                     advance = (prim_ret & ~conv) | shad_ret
                 else:
                     advance = prim_ret
