@@ -150,22 +150,33 @@ def test_queued_wavefront_matches_plain():
     # mix in dead lanes (tmax = 0 pattern comes from the caller's mask)
     a = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
                         res, interpret=True)
-    for c, r in ((4, 2), (2, 3)):
+    for c, r, un, fc in ((4, 2, 1, 2), (2, 3, 1, 2), (4, 2, 2, 1),
+                         (2, 3, 3, 2)):
         b = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
                             np.inf, res, interpret=True, queue_depth=c,
-                            refill_every=r)
+                            refill_every=r, march_unroll=un,
+                            fetch_cadence=fc)
         for f in ("distance", "ipos", "normal", "color_word", "iters",
                   "active"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
-                err_msg=f"{f} C={c} R={r}")
+                err_msg=f"{f} C={c} R={r} U={un}")
+    # march_unroll alone (unqueued) must also be bitwise-identical
+    b = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                        np.inf, res, interpret=True, march_unroll=2,
+                        fetch_cadence=1)
+    for f in ("distance", "ipos", "normal", "color_word", "iters", "active"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            err_msg=f"{f} unqueued U=2")
     # any-hit (shadow) mode too
     sa = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
                          res, interpret=True, any_hit=True,
                          fetch_colors=False)
     sb = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
                          res, interpret=True, any_hit=True,
-                         fetch_colors=False, queue_depth=4, refill_every=2)
+                         fetch_colors=False, queue_depth=4, refill_every=2,
+                         march_unroll=2, fetch_cadence=1)
     np.testing.assert_array_equal(np.asarray(sa.distance),
                                   np.asarray(sb.distance))
 
@@ -204,7 +215,7 @@ def test_in_kernel_nee_matches_two_dispatch():
                eps_grid=eps_grid, shadow_tmin=EPS)
     a = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
                         res, interpret=True, queue_depth=4, refill_every=2,
-                        nee=nee)
+                        march_unroll=2, fetch_cadence=1, nee=nee)
     b = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
                         res, interpret=True)
     for f in ("distance", "ipos", "normal", "color_word", "iters"):

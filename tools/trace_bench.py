@@ -73,6 +73,8 @@ def main():
                     help="queue_depth: rays per lane slot (queued wavefront)")
     ap.add_argument("--refill", type=int, default=4,
                     help="refill cadence for the queued wavefront")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="march_unroll: grid advances per loop iteration")
     ap.add_argument("--resolve-steps", type=int, default=9,
                     help="in-cell DDA unroll length (resumable; 9 = whole "
                          "cell in one fetch)")
@@ -211,6 +213,7 @@ def main():
                     use_xslab=not args.noxslab,
                     resolve_steps=args.resolve_steps,
                     queue_depth=args.queue, refill_every=args.refill,
+                    march_unroll=args.unroll,
                     fetch_cadence=cadence, interpret=args.interpret,
                     block_rows=args.rows,
                 )

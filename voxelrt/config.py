@@ -61,7 +61,11 @@ class RenderConfig:
     # the two-dispatch formulation is tested; applies on the unsorted Pallas
     # path with a directional light and no ReSTIR (those keep the explicit
     # dispatch).
-    nee_in_kernel: bool = False
+    # Default ON since the march-unroll kernel: wall-neutral pre-unroll,
+    # −9 ms/spp with it (the conversion/refill machinery amortizes over the
+    # unrolled advances and the fused dispatch drops the shadow-wavefront
+    # staging buffers; bench.py A/B 86.3 → 77.1 ms/spp on example6 @720p).
+    nee_in_kernel: bool = True
 
     # Traversal bound (renderer/raytracer.py:103).
     max_dda_advances: int = 512
@@ -128,6 +132,20 @@ class RenderConfig:
     # the queue (no straggler spread to hide). 1 disables.
     dda_queue_depth: int = int(os.environ.get("VOXELRT_DDA_QUEUE", "32"))
     dda_refill_every: int = 3
+
+    # Grid advances per kernel loop iteration (march unroll): extra
+    # march-only segments re-gather occupancy and advance again within one
+    # iteration, amortizing the per-iteration fixed cost (scalar liveness
+    # reduce, state pack/unpack, fetch-branch dispatch, refill
+    # select-chains) over several grid steps. Per-ray results are bitwise
+    # identical (rays at occupied cells just stall until the next fetch
+    # round). Tuned on v5e (tools/trace_bench.py --unroll, example6):
+    # 1→2 lifts tile-order bounce 91.9 → 107.2 Mrays/s and primary
+    # 110 → 143; 3 is flat-to-noise above it. With unroll 2 the fetch
+    # cadence drops to 1 (a fetch opportunity every 2 advances — the same
+    # economics as the old cadence-2 rolled loop).
+    dda_march_unroll: int = 2
+    dda_fetch_cadence: int = 1
 
     # Motion-phase reprojection backend: 'pallas' fuses the current-color
     # bilinear + gated history taps into one VMEM-resident kernel

@@ -221,6 +221,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      use_xslab=True, fetch_cadence=2,
                      resolve_steps=CELL_RESOLVE_STEPS,
                      queue_depth=1, refill_every=4, nee_mode=False,
+                     march_unroll=1,
                      slow_after=48, debug_totals=False, resume=False):
     C = queue_depth
     queued = C > 1 or nee_mode
@@ -584,112 +585,121 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         )
 
         # --- empty-space march (distance-field skip) -----------------------
-        c3x, c3y, c3z = px >> 3, py >> 3, pz >> 3
-        r3 = res // 8
-        c3 = (c3z * r3 + c3y) * r3 + c3x
-        w3 = _gather_words(dist3_ref, c3 >> 3, n_dist3_words)
-        d3 = (w3 >> ((c3 & 7) * 4)) & 15
+        def march_candidates(t_, px_, py_, pz_, w2_, v4_=None):
+            """Watertight advance to the farther of the valid skip boxes:
+            candidate A (dist3 cube / current cell), A4 (dist4 cell cube) or
+            B (the free LOD2 X-slab). Returns (nat, nap*, an*). Pure function
+            of (position, t) so extra ``march_unroll`` segments replay it."""
+            c3x, c3y, c3z = px_ >> 3, py_ >> 3, pz_ >> 3
+            r3 = res // 8
+            c3 = (c3z * r3 + c3y) * r3 + c3x
+            w3 = _gather_words(dist3_ref, c3 >> 3, n_dist3_words)
+            d3 = (w3 >> ((c3 & 7) * 4)) & 15
 
-        # Candidate A: distance-field cube (radius d3-1 of 8³ blocks), or
-        # the current 4³ cell when d3 == 0.
-        skip = d3 >= 1
-        rad = (d3 - 1).astype(jnp.int32)
-        loxA = jnp.where(skip, (c3x - rad) << 3, (px >> 2) << 2).astype(jnp.float32)
-        loyA = jnp.where(skip, (c3y - rad) << 3, (py >> 2) << 2).astype(jnp.float32)
-        lozA = jnp.where(skip, (c3z - rad) << 3, (pz >> 2) << 2).astype(jnp.float32)
-        extA = jnp.where(skip, (2 * rad + 1) << 3, 4).astype(jnp.float32)
+            # Candidate A: distance-field cube (radius d3-1 of 8³ blocks),
+            # or the current 4³ cell when d3 == 0.
+            skip = d3 >= 1
+            rad = (d3 - 1).astype(jnp.int32)
+            loxA = jnp.where(skip, (c3x - rad) << 3, (px_ >> 2) << 2).astype(jnp.float32)
+            loyA = jnp.where(skip, (c3y - rad) << 3, (py_ >> 2) << 2).astype(jnp.float32)
+            lozA = jnp.where(skip, (c3z - rad) << 3, (pz_ >> 2) << 2).astype(jnp.float32)
+            extA = jnp.where(skip, (2 * rad + 1) << 3, 4).astype(jnp.float32)
 
-        def box_exit(lox_, loy_, loz_, extx_, exty_, extz_):
-            # watertight advance to the box exit (raytracer.py:124-147)
-            fx = ox + dx * t - lox_
-            fy = oy + dy * t - loy_
-            fz = oz + dz * t - loz_
-            dxx = jnp.where(dx > 0.0, extx_ - fx, fx)
-            dyy = jnp.where(dy > 0.0, exty_ - fy, fy)
-            dzz = jnp.where(dz > 0.0, extz_ - fz, fz)
-            txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
-            tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
-            tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
-            mint = jnp.maximum(jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
-            return fx, fy, fz, txx, tyy, tzz, mint
+            def box_exit(lox_, loy_, loz_, extx_, exty_, extz_):
+                # watertight advance to the box exit (raytracer.py:124-147)
+                fx = ox + dx * t_ - lox_
+                fy = oy + dy * t_ - loy_
+                fz = oz + dz * t_ - loz_
+                dxx = jnp.where(dx > 0.0, extx_ - fx, fx)
+                dyy = jnp.where(dy > 0.0, exty_ - fy, fy)
+                dzz = jnp.where(dz > 0.0, extz_ - fz, fz)
+                txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
+                tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
+                tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
+                mint = jnp.maximum(
+                    jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
+                return fx, fy, fz, txx, tyy, tzz, mint
 
-        fxA, fyA, fzA, txxA, tyyA, tzzA, mintA = box_exit(
-            loxA, loyA, lozA, extA, extA, extA)
-        if use_dist4:
-            # Candidate A4: the dist4 cell box (radius v4-1 of 4³ cells).
-            # Every MARCHING ray has v4 ≥ 1 (occ2 would have routed it to
-            # the fetch), so the box is always valid for the lanes whose
-            # result is kept. Both boxes contain the ray; jump to the
-            # farther exit.
-            rad4 = v4 - 1
-            lox4 = (((px >> 2) - rad4) << 2).astype(jnp.float32)
-            loy4 = (((py >> 2) - rad4) << 2).astype(jnp.float32)
-            loz4 = (((pz >> 2) - rad4) << 2).astype(jnp.float32)
-            ext4 = ((2 * rad4 + 1) << 2).astype(jnp.float32)
-            fx4, fy4, fz4, txx4, tyy4, tzz4, mint4 = box_exit(
-                lox4, loy4, loz4, ext4, ext4, ext4)
-            use4 = mint4 > mintA
-            lox = jnp.where(use4, lox4, loxA)
-            loy = jnp.where(use4, loy4, loyA)
-            loz = jnp.where(use4, loz4, lozA)
-            extx = exty = extz = jnp.where(use4, ext4, extA)
-            fx = jnp.where(use4, fx4, fxA)
-            fy = jnp.where(use4, fy4, fyA)
-            fz = jnp.where(use4, fz4, fzA)
-            txx = jnp.where(use4, txx4, txxA)
-            tyy = jnp.where(use4, tyy4, tyyA)
-            tzz = jnp.where(use4, tzz4, tzzA)
-            mint = jnp.where(use4, mint4, mintA)
-        elif use_xslab:
-            # Candidate B: the LOD2 word already gathered for the occupancy
-            # test covers a full X-row of 32 cells (res×4×4 voxels at one
-            # (cy, cz); soundness requires 32 % r2 == 0, asserted in
-            # raytrace_pallas); w2 == 0 certifies that whole slab empty.
-            # Free long-range skip for X-dominant rays — no extra gather.
-            validB = w2 == 0
-            loyB = ((py >> 2) << 2).astype(jnp.float32)
-            lozB = ((pz >> 2) << 2).astype(jnp.float32)
-            fxB, fyB, fzB, txxB, tyyB, tzzB, mintB = box_exit(
-                jnp.float32(0.0), loyB, lozB, fres, jnp.float32(4.0),
-                jnp.float32(4.0))
+            fxA, fyA, fzA, txxA, tyyA, tzzA, mintA = box_exit(
+                loxA, loyA, lozA, extA, extA, extA)
+            if use_dist4:
+                # Candidate A4: the dist4 cell box (radius v4-1 of 4³ cells).
+                # Every MARCHING ray has v4 ≥ 1 (occ2 would have routed it to
+                # the fetch), so the box is always valid for the lanes whose
+                # result is kept. Both boxes contain the ray; jump to the
+                # farther exit.
+                rad4 = v4_ - 1
+                lox4 = (((px_ >> 2) - rad4) << 2).astype(jnp.float32)
+                loy4 = (((py_ >> 2) - rad4) << 2).astype(jnp.float32)
+                loz4 = (((pz_ >> 2) - rad4) << 2).astype(jnp.float32)
+                ext4 = ((2 * rad4 + 1) << 2).astype(jnp.float32)
+                fx4, fy4, fz4, txx4, tyy4, tzz4, mint4 = box_exit(
+                    lox4, loy4, loz4, ext4, ext4, ext4)
+                use4 = mint4 > mintA
+                lox = jnp.where(use4, lox4, loxA)
+                loy = jnp.where(use4, loy4, loyA)
+                loz = jnp.where(use4, loz4, lozA)
+                extx = exty = extz = jnp.where(use4, ext4, extA)
+                fx = jnp.where(use4, fx4, fxA)
+                fy = jnp.where(use4, fy4, fyA)
+                fz = jnp.where(use4, fz4, fzA)
+                txx = jnp.where(use4, txx4, txxA)
+                tyy = jnp.where(use4, tyy4, tyyA)
+                tzz = jnp.where(use4, tzz4, tzzA)
+                mint = jnp.where(use4, mint4, mintA)
+            elif use_xslab:
+                # Candidate B: the LOD2 word already gathered for the
+                # occupancy test covers a full X-row of 32 cells (res×4×4
+                # voxels at one (cy, cz); soundness requires 32 % r2 == 0,
+                # asserted in raytrace_pallas); w2 == 0 certifies that whole
+                # slab empty. Free long-range skip for X-dominant rays — no
+                # extra gather.
+                validB = w2_ == 0
+                loyB = ((py_ >> 2) << 2).astype(jnp.float32)
+                lozB = ((pz_ >> 2) << 2).astype(jnp.float32)
+                fxB, fyB, fzB, txxB, tyyB, tzzB, mintB = box_exit(
+                    jnp.float32(0.0), loyB, lozB, fres, jnp.float32(4.0),
+                    jnp.float32(4.0))
 
-            # Both boxes contain the current position, so the ray may jump
-            # to whichever exit is farther.
-            useB = validB & (mintB > mintA)
-            lox = jnp.where(useB, 0.0, loxA)
-            loy = jnp.where(useB, loyB, loyA)
-            loz = jnp.where(useB, lozB, lozA)
-            extx = jnp.where(useB, fres, extA)
-            exty = jnp.where(useB, 4.0, extA)
-            extz = jnp.where(useB, 4.0, extA)
-            fx = jnp.where(useB, fxB, fxA)
-            fy = jnp.where(useB, fyB, fyA)
-            fz = jnp.where(useB, fzB, fzA)
-            txx = jnp.where(useB, txxB, txxA)
-            tyy = jnp.where(useB, tyyB, tyyA)
-            tzz = jnp.where(useB, tzzB, tzzA)
-            mint = jnp.where(useB, mintB, mintA)
-        else:
-            lox, loy, loz = loxA, loyA, lozA
-            extx = exty = extz = extA
-            fx, fy, fz = fxA, fyA, fzA
-            txx, tyy, tzz = txxA, tyyA, tzzA
-            mint = mintA
-        ex = jnp.clip(jnp.floor(fx + mint * dx), 0.0, extx - 1.0)
-        ey = jnp.clip(jnp.floor(fy + mint * dy), 0.0, exty - 1.0)
-        ez = jnp.clip(jnp.floor(fz + mint * dz), 0.0, extz - 1.0)
-        anx = (txx == mint).astype(jnp.float32) * sx
-        any_ = (tyy == mint).astype(jnp.float32) * sy
-        anz = (tzz == mint).astype(jnp.float32) * sz
-        napx = (lox + ex + anx).astype(jnp.int32)
-        napy = (loy + ey + any_).astype(jnp.int32)
-        napz = (loz + ez + anz).astype(jnp.int32)
-        nat = t + mint
+                # Both boxes contain the current position, so the ray may
+                # jump to whichever exit is farther.
+                useB = validB & (mintB > mintA)
+                lox = jnp.where(useB, 0.0, loxA)
+                loy = jnp.where(useB, loyB, loyA)
+                loz = jnp.where(useB, lozB, lozA)
+                extx = jnp.where(useB, fres, extA)
+                exty = jnp.where(useB, 4.0, extA)
+                extz = jnp.where(useB, 4.0, extA)
+                fx = jnp.where(useB, fxB, fxA)
+                fy = jnp.where(useB, fyB, fyA)
+                fz = jnp.where(useB, fzB, fzA)
+                txx = jnp.where(useB, txxB, txxA)
+                tyy = jnp.where(useB, tyyB, tyyA)
+                tzz = jnp.where(useB, tzzB, tzzA)
+                mint = jnp.where(useB, mintB, mintA)
+            else:
+                lox, loy, loz = loxA, loyA, lozA
+                extx = exty = extz = extA
+                fx, fy, fz = fxA, fyA, fzA
+                txx, tyy, tzz = txxA, tyyA, tzzA
+                mint = mintA
+            ex = jnp.clip(jnp.floor(fx + mint * dx), 0.0, extx - 1.0)
+            ey = jnp.clip(jnp.floor(fy + mint * dy), 0.0, exty - 1.0)
+            ez = jnp.clip(jnp.floor(fz + mint * dz), 0.0, extz - 1.0)
+            anx = (txx == mint).astype(jnp.float32) * sx
+            any_ = (tyy == mint).astype(jnp.float32) * sy
+            anz = (tzz == mint).astype(jnp.float32) * sz
+            napx = (lox + ex + anx).astype(jnp.int32)
+            napy = (loy + ey + any_).astype(jnp.int32)
+            napz = (loz + ez + anz).astype(jnp.int32)
+            return t_ + mint, napx, napy, napz, anx, any_, anz
+
+        nat, napx, napy, napz, anx, any_, anz = march_candidates(
+            t, px, py, pz, w2, v4 if use_dist4 else None)
 
         march = live & ~occ2
 
-        out = dict(s)
-        out["t"] = jnp.where(miss, BIG, jnp.where(march, nat, t1))
+        o_t = jnp.where(miss, BIG, jnp.where(march, nat, t1))
         o_px = jnp.where(march, napx, px1)
         o_py = jnp.where(march, napy, py1)
         o_pz = jnp.where(march, napz, pz1)
@@ -699,16 +709,64 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             o_nx = jnp.where(march, anx, nx1)
             o_ny = jnp.where(march, any_, ny1)
             o_nz = jnp.where(march, anz, nz1)
-        out["word"] = pack_word(o_px, o_py, o_pz, o_nx, o_ny, o_nz)
         o_adv = s_adv + march.astype(jnp.int32) + steps1
-        out["n_live"] = m
-        out["n_fetch"] = s["n_fetch"] + do_fetch.astype(jnp.int32)
         o_hit = s_hit | hit1
         exhausted = live & (o_adv >= max_advances)
         o_exh = s_exh | (exhausted & (hit1 == 0)).astype(jnp.int32)
-        o_active = (live & (hit1 == 0) & ~exhausted).astype(jnp.int32)
+        o_act = live & (hit1 == 0) & ~exhausted
+
+        # Extra march-only segments (``march_unroll`` > 1): advance the
+        # marching rays again with fresh occupancy gathers, amortizing the
+        # per-iteration fixed cost (scalar reduce, pack/unpack, fetch-branch
+        # dispatch, refill select-chains) over several grid steps. Rays at
+        # occupied cells stall until the next fetch round — same economics
+        # as the fetch_cadence deferral, so per-ray results are bitwise
+        # identical to the rolled loop.
+        for _u in range(march_unroll - 1):
+            inb_u = (
+                (o_px >= 0) & (o_px < res) & (o_py >= 0) & (o_py < res)
+                & (o_pz >= 0) & (o_pz < res)
+            )
+            miss_u = o_act & ((o_t > far) | ~inb_u)
+            live_u = o_act & ~miss_u
+            cell_u = ((o_pz >> 2) * r2 + (o_py >> 2)) * r2 + (o_px >> 2)
+            cw_u = cell_u >> 5
+            cb_u = cell_u & 31
+            if use_sun_open or nee_mode:
+                w2_u, wsun_u = _gather_words2(lod2_ref, sun_ref, cw_u,
+                                              n_lod2_words)
+                sun_esc_u = ((wsun_u >> cb_u) & 1) != 0
+                if nee_mode:
+                    sun_esc_u = sun_esc_u & (s_phase != 0)
+                miss_u = miss_u | (live_u & inb_u & sun_esc_u)
+                live_u = o_act & ~miss_u
+            else:
+                w2_u = _gather_words(lod2_ref, cw_u, n_lod2_words)
+            occ2_u = ((w2_u >> cb_u) & 1) != 0
+            march_u = live_u & ~occ2_u
+            nat_u, napx_u, napy_u, napz_u, anx_u, any_u, anz_u = \
+                march_candidates(o_t, o_px, o_py, o_pz, w2_u)
+            o_t = jnp.where(miss_u, BIG, jnp.where(march_u, nat_u, o_t))
+            o_px = jnp.where(march_u, napx_u, o_px)
+            o_py = jnp.where(march_u, napy_u, o_py)
+            o_pz = jnp.where(march_u, napz_u, o_pz)
+            if not any_hit:
+                o_nx = jnp.where(march_u, anx_u, o_nx)
+                o_ny = jnp.where(march_u, any_u, o_ny)
+                o_nz = jnp.where(march_u, anz_u, o_nz)
+            o_adv = o_adv + march_u.astype(jnp.int32)
+            exhausted_u = live_u & (o_adv >= max_advances)
+            o_exh = o_exh | exhausted_u.astype(jnp.int32)
+            o_act = live_u & ~exhausted_u
+
+        out = dict(s)
+        out["t"] = o_t
+        out["word"] = pack_word(o_px, o_py, o_pz, o_nx, o_ny, o_nz)
+        out["n_live"] = m
+        out["n_fetch"] = s["n_fetch"] + do_fetch.astype(jnp.int32)
         out["af"] = (
-            o_adv | (o_active << 16) | (o_hit << 17) | (o_exh << 18)
+            o_adv | (o_act.astype(jnp.int32) << 16) | (o_hit << 17)
+            | (o_exh << 18)
         )
         if nee_mode:
             out["af"] = out["af"] | (s_phase << 19)  # phase flips at refill
@@ -959,7 +1017,8 @@ class PallasTraceResult(NamedTuple):
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
                      "interpret", "fetch_cadence", "debug_totals",
                      "block_rows", "use_sun_open", "use_xslab", "use_dist4",
-                     "resolve_steps", "queue_depth", "refill_every"),
+                     "resolve_steps", "queue_depth", "refill_every",
+                     "march_unroll"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -971,6 +1030,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     use_dist4: bool | None = None,
                     resolve_steps: int = CELL_RESOLVE_STEPS,
                     queue_depth: int = 1, refill_every: int = 4,
+                    march_unroll: int = 1,
                     nee=None,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
@@ -1099,6 +1159,10 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         use_dist4 = False
     assert not (use_dist4 and use_sun_open), \
         "sun-open shares the LOD2 gather; dist4 mode replaces it"
+    # Extra march segments re-gather LOD2 only; the dist4 occupancy read is
+    # not replayed there, so the combination is not implemented.
+    assert march_unroll == 1 or not use_dist4, (march_unroll, use_dist4)
+    assert march_unroll >= 1, march_unroll
 
     r2 = grid_res // 4
     r3 = grid_res // 8
@@ -1149,7 +1213,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         use_xslab=use_xslab, fetch_cadence=fetch_cadence,
         resolve_steps=resolve_steps,
         queue_depth=queue_depth, refill_every=refill_every,
-        nee_mode=nee_mode,
+        nee_mode=nee_mode, march_unroll=march_unroll,
         debug_totals=debug_totals, resume=resume,
     )
 

@@ -203,6 +203,8 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
         use_sun_open=sun_shadow,
         queue_depth=1 if p1 else cfg.dda_queue_depth,
         refill_every=cfg.dda_refill_every,
+        march_unroll=cfg.dda_march_unroll,
+        fetch_cadence=cfg.dda_fetch_cadence,
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
     )
     if p1 and p1 < cfg.max_dda_advances:
@@ -342,6 +344,8 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 queue_depth=(1 if coherent and nee is None
                              else cfg.dda_queue_depth),
                 refill_every=cfg.dda_refill_every,
+                march_unroll=cfg.dda_march_unroll,
+                fetch_cadence=cfg.dda_fetch_cadence,
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
                 nee=nee,
