@@ -57,7 +57,7 @@ def main():
                     help="example scene module (the BASELINE north star is example6)")
     ap.add_argument("--res", default="1280x720")
     ap.add_argument("--spp", type=int, default=512, help="target spp")
-    ap.add_argument("--measure-spp", type=int, default=32)
+    ap.add_argument("--measure-spp", type=int, default=64)
     ap.add_argument("--full", action="store_true",
                     help="actually run all --spp samples")
     ap.add_argument("--out", default=None, help="optionally write the PNG")
@@ -99,7 +99,11 @@ def main():
         np.asarray(jax.device_get(r.state.color[0, 0]))
 
     n_measured = args.spp if args.full else min(args.measure_spp, args.spp)
-    chunk = min(16, n_measured)
+    # 64 spp per dispatch: the per-dispatch overhead on the tunneled TPU is
+    # ~26 ms (tools/chunk_scaling.py — 78.6/76.7/75.4/75.3 ms/spp at chunk
+    # 8/16/64/128), amortized away by chunk 64. Matches headless.render's
+    # default chunk (samples_per_launch * 8).
+    chunk = min(64, n_measured)
 
     # Warmup / compile — must use the SAME static chunk size as the timed
     # loop (accumulate_n specializes on n).

@@ -147,6 +147,14 @@ class RenderConfig:
     dda_march_unroll: int = 2
     dda_fetch_cadence: int = 1
 
+    # Deferred-escape skybox fetch routing: True sorts the wavefront's
+    # escape texel ids so each (8,128) fetch-kernel block touches few VMEM
+    # slabs (two multi-payload 7.4M-lane lax.sorts); False dispatches the
+    # fetch in ray order and lets the kernel's slab loop absorb the
+    # scatter. Identical results — purely a routing choice; see
+    # PERF_NOTES.md for the measured tradeoff.
+    sky_route_sort: bool = True
+
     # Motion-phase reprojection backend: 'pallas' fuses the current-color
     # bilinear + gated history taps into one VMEM-resident kernel
     # (ops/resample.py — replaces ~30 full-image XLA gathers per moving

@@ -24,6 +24,10 @@ def sqr(x):
     return x * x
 
 
+# NB: keep these as jnp.sum reduces. An unrolled x+y+z slice chain was
+# measured (round-3 HLO profile): it broke XLA's multiply_reduce fusion
+# patterns and regressed the frame 72.7 -> 82.5 ms/spp (mul/add
+# materialization tripled). The reduce formulation is the fast one.
 def dot(a, b):
     return jnp.sum(a * b, axis=-1)
 

@@ -406,15 +406,19 @@ def get_cast_dir(cfg, params, key, u, v, camera_is_moving: bool,
     return normalize(d)
 
 
-def sample_sky(cfg, scene, params, d, u3, scattered=False):
+def sample_sky(cfg, scene, params, d, u3, scattered=False, want_trans=True):
     """Sky radiance for escaped rays: constant background or precomputed
-    skybox (renderer/pathtracer.py:499-517)."""
+    skybox (renderer/pathtracer.py:499-517). ``want_trans=False`` returns
+    ``(scatt, None)`` and skips the transmittance-map work."""
     if cfg.use_physical_sky:
         from voxelrt.sky.atmos import sample_skybox
 
-        return sample_skybox(cfg, scene.sky, d, u3, scattered=scattered)
+        return sample_skybox(cfg, scene.sky, d, u3, scattered=scattered,
+                             want_trans=want_trans)
     n = d.shape[0]
     scatt = jnp.broadcast_to(params.background_color, (n, 3))
+    if not want_trans:
+        return scatt, None
     trans = jnp.ones((n, 3), jnp.float32)
     return scatt, trans
 
@@ -775,9 +779,25 @@ def trace_sample(cfg, scene, params, key, u, v,
     # --- deferred escape sky (single fetch for the whole bounce loop) -------
     if defer_sky:
         esc_any = jnp.any(esc_weight != 0.0, axis=-1)
+        # The transmittance map is only consumed through the sun-disk term
+        # of _sky_emission — i.e. for escape directions INSIDE the NEE sun
+        # cone (hit_sun gates it). That is exactly the 0.72° domain over
+        # which nee_transmittance='center' was bounded (<0.7% max deviation,
+        # config.py), so the same cone-centre value substitutes for the
+        # whole per-ray transmittance fetch + its share of the sort route.
+        cheap_sun_trans = (cfg.nee_transmittance == "center"
+                          and cfg.use_physical_sky)
         sky_scatt, sky_trans = sample_sky(
-            cfg, scene, params, esc_dir, esc_u3, scattered=True
+            cfg, scene, params, esc_dir, esc_u3, scattered=True,
+            want_trans=not cheap_sun_trans,
         )
+        if sky_trans is None:
+            sky_trans = jnp.broadcast_to(
+                sky_transmittance(
+                    cfg, scene, jnp.asarray(params.light_direction)[None, :]
+                ),
+                (n, 3),
+            )
         sky_emission = _sky_emission(cfg, params, esc_dir, sky_scatt, sky_trans)
         contrib = contrib + jnp.where(
             esc_any[..., None], esc_weight * sky_emission, 0.0

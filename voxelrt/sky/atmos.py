@@ -621,12 +621,19 @@ def _use_texfetch(cfg, sky):
     return cfg.use_pallas_dda and sky.packed_scatt is not None
 
 
-def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False):
+def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False, want_trans=True):
     """renderer/atmos.py:94-115 — jittered bilinear skybox fetch.
 
     On the TPU path both maps are fetched by the Pallas kernel;
     ``scattered=True`` marks direction sets with no block-level coherence
-    (deferred bounce-ray escapes), which get one shared texel-sort route.
+    (deferred bounce-ray escapes), which get one shared texel-sort route
+    (gated by ``cfg.sky_route_sort`` — the unrouted kernel handles the
+    scatter with more slab rounds but no 7M-lane lax.sorts).
+
+    ``want_trans=False`` skips the transmittance map entirely and returns
+    ``(scatt, None)`` — callers that substitute the sun-cone-centre
+    transmittance for the sun-disk term (see config.nee_transmittance)
+    don't pay a second full-wavefront fetch.
     """
     res = cfg.skybox_res
     jittered = normalize(d + (u3 - 0.0) * 0.0015)
@@ -636,7 +643,13 @@ def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False):
     if _use_texfetch(cfg, sky):
         from voxelrt.ops.texfetch import bilinear_fetch_packed
 
-        if scattered:
+        if scattered and cfg.sky_route_sort:
+            # FLAT global route. A segmented variant (independent 16K-lane
+            # row sorts — 3x cheaper sorts, tools/sort_micro.py) was
+            # measured and REVERTED: with only segment-local clustering
+            # every fetch block still spans ~1/16 of the sky's slab range
+            # and the kernel's slab loop exploded (73.5 -> 128.5 ms/spp).
+            # The global sort is what buys the per-block slab locality.
             n = fx.shape[0]
             ix = jnp.clip(jnp.floor(fx), 0.0, float(res - 1))
             key = jnp.where(
@@ -649,6 +662,11 @@ def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False):
             _, sidx, sfx, sfy = jax.lax.sort([key, idx, fx, fy], num_keys=1)
             s = bilinear_fetch_packed(sky.packed_scatt, sfx, sfy, res,
                                       interpret=cfg.pallas_interpret)
+            if not want_trans:
+                _, s0, s1, s2 = jax.lax.sort(
+                    [sidx, s[:, 0], s[:, 1], s[:, 2]], num_keys=1
+                )
+                return jnp.stack([s0, s1, s2], -1), None
             t = bilinear_fetch_packed(sky.packed_trans, sfx, sfy, res,
                                       interpret=cfg.pallas_interpret)
             _, s0, s1, s2, t0, t1, t2 = jax.lax.sort(
@@ -658,10 +676,14 @@ def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False):
             return (jnp.stack([s0, s1, s2], -1), jnp.stack([t0, t1, t2], -1))
         scatt = bilinear_fetch_packed(sky.packed_scatt, fx, fy, res,
                                       interpret=cfg.pallas_interpret)
+        if not want_trans:
+            return scatt, None
         trans = bilinear_fetch_packed(sky.packed_trans, fx, fy, res,
                                       interpret=cfg.pallas_interpret)
         return scatt, trans
     scatt = _bilinear_wrap(sky.skybox_scattering, fx, fy, res)
+    if not want_trans:
+        return scatt, None
     trans = _bilinear_wrap(sky.skybox_transmittance, fx, fy, res)
     return scatt, trans
 
