@@ -147,6 +147,16 @@ class RenderConfig:
     dda_march_unroll: int = 2
     dda_fetch_cadence: int = 1
 
+    # Escape-sky fetch estimator: 'stochastic' picks ONE bilinear corner
+    # per sample with probability equal to its bilinear weight — unbiased
+    # (the fetch is linear in texel values) and the same per-sample dither
+    # role as the reference's random direction jitter, which at the
+    # default 1024² skybox already spans ~1.75 texels. The route sort then
+    # carries texel ids only, the Pallas fetch reads one corner instead of
+    # four, and the unroute carries the packed texel words losslessly.
+    # 'bilinear' restores the reference's jittered 4-corner interpolation.
+    sky_fetch: str = "stochastic"  # 'stochastic' | 'bilinear'
+
     # Deferred-escape skybox fetch routing: True sorts the wavefront's
     # escape texel ids so each (8,128) fetch-kernel block touches few VMEM
     # slabs (two multi-payload 7.4M-lane lax.sorts); False dispatches the

@@ -153,6 +153,82 @@ def bilinear_fetch_packed(packed_words, fx, fy, res: int,
     return jnp.stack([r, g, b], axis=-1)
 
 
+def _point_kernel(wid_ref, tab_ref, w0_ref, w1_ref):
+    """One-texel fetch: returns the two packed table words verbatim.
+
+    Same distinct-slab min-reduce loop as _bilinear_kernel but a single
+    corner — the stochastic-bilinear path picks the corner host-side, so
+    the kernel does ~4x fewer slab rounds and its outputs are the exact
+    bf16-packed texel words (lossless through the unroute sort)."""
+    wid = wid_ref[0]
+    slab = wid >> 10
+    BIGI = jnp.int32(0x7FFFFFFF)
+    ones = jnp.ones(wid.shape, jnp.int32)
+    z = jnp.zeros(wid.shape, jnp.int32)
+
+    def cond(c):
+        return c[2] != BIGI
+
+    def body(c):
+        w0, w1, sid, remaining = c
+        wanted = (remaining != 0) & (slab == sid)
+        g0 = _gather_1024(tab_ref[pl.ds(sid * 8, 8), :], wid & 1023)
+        g1 = _gather_1024(tab_ref[pl.ds(sid * 8, 8), :], (wid & 1023) + 1)
+        w0 = jnp.where(wanted, g0, w0)
+        w1 = jnp.where(wanted, g1, w1)
+        remaining = remaining & ~wanted.astype(jnp.int32)
+        nsid = jnp.min(jnp.where(remaining != 0, slab, BIGI))
+        return w0, w1, nsid, remaining
+
+    w0, w1, _, _ = jax.lax.while_loop(cond, body, (z, z, jnp.min(slab), ones))
+    w0_ref[0] = w0
+    w1_ref[0] = w1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def point_fetch_words(packed_words, texel_word_idx, interpret: bool = False):
+    """Fetch word pairs (w0, w1) = packed rgb of one texel per lane.
+
+    texel_word_idx: (N,) i32 EVEN word index (2 * texel id), pre-wrapped
+    and finite-guarded by the caller. Returns two (N,) i32 arrays holding
+    the packed words exactly as stored (decode with unpack_words_rgb)."""
+    n = texel_word_idx.shape[0]
+    pad = (-n) % BLOCK
+    npad = n + pad
+    widp = jnp.pad(texel_word_idx, (0, pad)).reshape(-1, SUBLANES, LANES)
+    nb = npad // BLOCK
+
+    ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab = packed_words.reshape(-1, LANES).astype(jnp.int32)
+    tab_spec = pl.BlockSpec((tab.shape[0], LANES), lambda b: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((nb, SUBLANES, LANES), jnp.int32)
+                  for _ in range(2)]
+    outs = pl.pallas_call(
+        _point_kernel,
+        grid=(nb,),
+        in_specs=[ray_spec, tab_spec],
+        out_specs=[ray_spec] * 2,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(widp, tab)
+    return [x.reshape(npad)[:n] for x in outs]
+
+
+def unpack_words_rgb(w0, w1):
+    """Decode pack_rgb_bf16 word pairs back to (N, 3) f32."""
+    w0 = w0.astype(jnp.int32)
+    w1 = w1.astype(jnp.int32)
+    r = jax.lax.bitcast_convert_type(w0 & jnp.int32(-65536), jnp.float32)
+    g = jax.lax.bitcast_convert_type(w0 << 16, jnp.float32)
+    b = jax.lax.bitcast_convert_type(w1 & jnp.int32(-65536), jnp.float32)
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def bilinear_fetch_sorted(packed_words, fx, fy, res: int,
                           interpret: bool = False):
     """bilinear_fetch_packed with a texel-id sort route/unroute so scattered

@@ -621,6 +621,75 @@ def _use_texfetch(cfg, sky):
     return cfg.use_pallas_dda and sky.packed_scatt is not None
 
 
+def _sample_skybox_stochastic(cfg, sky, d, u3, scattered, want_trans):
+    """Stochastic-bilinear skybox fetch: pick ONE of the 4 bilinear corners
+    with probability equal to its bilinear weight (unbiased — the estimator's
+    expectation IS the bilinear value, and the fetch is linear in texel
+    values). The corner pick replaces the reference's random direction
+    jitter (renderer/atmos.py:97-113), which at the default 1024² skybox
+    already spans ~1.75 texels — both are per-sample dither that averages
+    out over progressive accumulation.
+
+    Why: the scattered-escape route then sorts texel IDS with no fraction
+    payloads ([key, idx] instead of [key, idx, fx, fy]), the fetch kernel
+    reads a single corner (~4× fewer slab rounds), and its outputs are the
+    exact packed table words — lossless through the unroute sort
+    ([sidx, w0, w1])."""
+    import jax
+
+    res = cfg.skybox_res
+    uv = project_sky(d, res)
+    fx = uv[..., 0] * res - 0.5
+    fy = uv[..., 1] * res - 0.5
+    finite = jnp.isfinite(fx) & jnp.isfinite(fy)
+    fx = jnp.clip(jnp.where(finite, fx, 0.0), -1.0e6, 1.0e6)
+    fy = jnp.clip(jnp.where(finite, fy, 0.0), -1.0e6, 1.0e6)
+    ix = jnp.floor(fx)
+    iy = jnp.floor(fy)
+    px = ix.astype(jnp.int32) + (u3[..., 0] < (fx - ix)).astype(jnp.int32)
+    py = iy.astype(jnp.int32) + (u3[..., 1] < (fy - iy)).astype(jnp.int32)
+    tex = jnp.mod(px, res) * res + jnp.mod(py, res)
+
+    if _use_texfetch(cfg, sky):
+        from voxelrt.ops.texfetch import point_fetch_words, unpack_words_rgb
+
+        if scattered and cfg.sky_route_sort:
+            n = tex.shape[0]
+            BIG = jnp.int32(0x7FFFFFFF)
+            key = jnp.where(finite, tex, BIG)
+            idx = jnp.arange(n, dtype=jnp.int32)
+            skey, sidx = jax.lax.sort([key, idx], num_keys=1)
+            wid = jnp.where(skey == BIG, 0, skey * 2)
+            w0, w1 = point_fetch_words(sky.packed_scatt, wid,
+                                       interpret=cfg.pallas_interpret)
+            if not want_trans:
+                _, uw0, uw1 = jax.lax.sort([sidx, w0, w1], num_keys=1)
+                return unpack_words_rgb(uw0, uw1), None
+            t0, t1 = point_fetch_words(sky.packed_trans, wid,
+                                       interpret=cfg.pallas_interpret)
+            _, uw0, uw1, ut0, ut1 = jax.lax.sort([sidx, w0, w1, t0, t1],
+                                                 num_keys=1)
+            return unpack_words_rgb(uw0, uw1), unpack_words_rgb(ut0, ut1)
+        wid = tex * 2
+        w0, w1 = point_fetch_words(sky.packed_scatt, wid,
+                                   interpret=cfg.pallas_interpret)
+        scatt = unpack_words_rgb(w0, w1)
+        if not want_trans:
+            return scatt, None
+        t0, t1 = point_fetch_words(sky.packed_trans, wid,
+                                   interpret=cfg.pallas_interpret)
+        return scatt, unpack_words_rgb(t0, t1)
+
+    flat_s = sky.skybox_scattering.reshape(-1, sky.skybox_scattering.shape[-1])
+    scatt = jnp.take(flat_s, tex, axis=0, mode="clip")
+    if not want_trans:
+        return scatt, None
+    flat_t = sky.skybox_transmittance.reshape(
+        -1, sky.skybox_transmittance.shape[-1]
+    )
+    return scatt, jnp.take(flat_t, tex, axis=0, mode="clip")
+
+
 def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False, want_trans=True):
     """renderer/atmos.py:94-115 — jittered bilinear skybox fetch.
 
@@ -635,6 +704,9 @@ def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False, want_trans=True):
     transmittance for the sun-disk term (see config.nee_transmittance)
     don't pay a second full-wavefront fetch.
     """
+    if cfg.sky_fetch == "stochastic":
+        return _sample_skybox_stochastic(cfg, sky, d, u3, scattered,
+                                         want_trans)
     res = cfg.skybox_res
     jittered = normalize(d + (u3 - 0.0) * 0.0015)
     uv = project_sky(jittered, res)
