@@ -113,6 +113,31 @@ def _pixel_grid(w, h):
     return u.reshape(-1), v.reshape(-1)
 
 
+def _pixel_uv_from_index(w, h, pix):
+    """u, v pixel coordinates for flat pixel ids in _pixel_grid order —
+    pure arithmetic on the index array. Used by the batched wavefront so
+    per-sample constants fuse into their consumers instead of being
+    materialized k·n-wide (XLA lowers tile/repeat/broadcast-reshape of
+    7M-lane arrays as k dynamic-update-slices each; measured 7.1 ms/spp
+    across ~10 such arrays before this)."""
+    if _use_tiles(w, h):
+        tiles_y = h // TILE_H
+        per_tx = tiles_y * TILE_W * TILE_H
+        tx = pix // per_tx
+        r = pix - tx * per_tx
+        per_ty = TILE_W * TILE_H
+        ty = r // per_ty
+        r2 = r - ty * per_ty
+        i = r2 // TILE_H
+        j = r2 - i * TILE_H
+        u = (tx * TILE_W + i).astype(jnp.float32)
+        v = (ty * TILE_H + j).astype(jnp.float32)
+        return u, v
+    u = (pix // h).astype(jnp.float32)
+    v = (pix - (pix // h) * h).astype(jnp.float32)
+    return u, v
+
+
 def _untile(w, h, x):
     """Inverse of the tile ordering: (N, ...) -> (W, H, ...)."""
     rest = x.shape[1:]
@@ -169,36 +194,57 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
                      for i in range(1, k_samples)]
         )
 
-        # Per-sample constants expand to the k·n wavefront as
-        # broadcast+reshape, NOT tile/repeat: XLA lowers materialized
-        # tiles of 7M-lane arrays as k dynamic-update-slices each (~0.1 ms
-        # per slice on v5e — measured 7.2 ms/spp across ~10 such arrays),
-        # while a reshape-of-broadcast fuses into the first consumer.
-        def expand(x):
-            return jnp.broadcast_to(
-                x[None], (k_samples,) + x.shape
-            ).reshape((k_samples * n,) + x.shape[1:])
+        # Per-sample constants are DERIVED per ray from the flat ray index
+        # (pixel coords arithmetically via _pixel_uv_from_index, per-sample
+        # rows via a k-way select chain) — everything fuses into the first
+        # consumer. Materialized expansions (tile/repeat AND
+        # broadcast+reshape) all lower to k dynamic-update-slices per
+        # array on TPU: measured 7.1 ms/spp across the ~10 expanded
+        # arrays. Values (and so images) are bitwise identical.
+        ridx = jnp.arange(k_samples * n, dtype=jnp.int32)
+        s_of_ray = ridx // n
+        pix = ridx - s_of_ray * n
+        uu, vv = _pixel_uv_from_index(aw, ah, pix)
 
-        def expand_per_sample(x):
-            return jnp.broadcast_to(
-                x[:, None], (k_samples, n) + x.shape[1:]
-            ).reshape((k_samples * n,) + x.shape[1:])
+        def per_sample_rows(tbl):
+            """(k, m) table -> (k*n, m): row s_of_ray per ray, as a
+            k-way select chain (fusable; no gather, no expansion)."""
+            cols = []
+            for c in range(tbl.shape[1]):
+                acc = jnp.broadcast_to(tbl[0, c], ridx.shape)
+                for r_ in range(1, tbl.shape[0]):
+                    acc = jnp.where(s_of_ray == r_, tbl[r_, c], acc)
+                cols.append(acc)
+            return jnp.stack(cols, axis=-1)
 
-        sample_keys = expand_per_sample(skeys)
+        sample_keys = per_sample_rows(skeys)
         jitter_u = None
         if not camera_is_moving:
             ju = jax.vmap(
                 lambda k_: jax.random.uniform(jax.random.fold_in(k_, 417), (2,))
             )(skeys)
-            jitter_u = expand_per_sample(ju)
+            jitter_u = per_sample_rows(ju)
         out = trace_sample(
             cfg, scene, params, key,
-            expand(u), expand(v),
+            uu, vv,
             camera_is_moving, render_scale,
             sample_keys=sample_keys, jitter_u=jitter_u,
         )
-        diffuse = out["diffuse"].reshape(k_samples, n, 3).mean(axis=0)
-        specular = out["specular"].reshape(k_samples, n, 3).mean(axis=0)
+        # Sample mean as a sum of STATIC 1-D slices, not
+        # reshape(k, n, 3).mean(0): the 2-D (k, n) shape was the only one
+        # in the program, and XLA's reshape motion propagated it backward
+        # through the whole epilogue — ~117 flat wavefront arrays each got
+        # re-laid-out T(1024)->(1,k,n)T(8,128) by a per-sample slice loop
+        # (measured 7.1 ms/spp of dynamic-update-slice time). Static
+        # tile-aligned slices keep every array 1-D.
+        def sample_mean(x):
+            acc = x[:n]
+            for s in range(1, k_samples):
+                acc = acc + x[s * n:(s + 1) * n]
+            return acc / k_samples
+
+        diffuse = sample_mean(out["diffuse"])
+        specular = sample_mean(out["specular"])
         # G-buffer and ReSTIR-adjacent outputs come from sample 0's slice
         # (the reference keeps the last frame's G-buffer; any one sample's
         # is equally valid — they share the camera).
