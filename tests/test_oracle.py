@@ -95,7 +95,9 @@ def _render_mean(cfg, scene, params, n_samples):
     @jax.jit
     def batch(key):
         out = trace_sample(cfg, scene, params, key, u, v, False, 1.0)
-        return jnp.mean(out["diffuse"] + out["specular"], axis=0)
+        from voxelrt.ops import v3
+
+        return jnp.mean(v3.stack(out["diffuse"] + out["specular"]), axis=0)
 
     acc = np.zeros(3)
     for s in range(n_samples):

@@ -31,11 +31,13 @@ def test_trace_sample_finite(setup):
     u, v = _pixel_grid(cfg)
     out = trace_sample(cfg, scene, params, jax.random.PRNGKey(0), u, v,
                        False, 1.0)
+    from voxelrt.ops import v3
+
     for k in ("diffuse", "specular"):
-        arr = np.asarray(out[k])
+        arr = np.asarray(v3.stack(out[k]))
         assert np.isfinite(arr).all(), k
         assert (arr >= 0).all(), k
-    assert np.asarray(out["diffuse"]).mean() > 1e-4  # scene is lit
+    assert np.asarray(v3.stack(out["diffuse"])).mean() > 1e-4  # scene is lit
 
 
 def test_accumulation_reduces_variance(setup):

@@ -31,6 +31,26 @@ from voxelrt.ops.sampling import (
     saturate,
     sqr,
 )
+from voxelrt.ops.v3 import (
+    V3,
+    cadd,
+    cdiv,
+    cmix,
+    cmul,
+    cwhere,
+    is_v3,
+    like3,
+    ones_like3,
+    vcross,
+    vnormalize,
+    vwhere,
+)
+
+# Layout note: every vector-valued formula below is written against the
+# layout-polymorphic c* helpers (ops/v3.py), so the same source serves
+# both packed (N, 3) callers (render/restir.py, tests — bit-identical to
+# the previous explicit [..., None] broadcasts) and the SoA V3 render hot
+# path (render/pathtracer.py), where it runs at full vreg lane density.
 
 LOBE_DIFFUSE = 0
 LOBE_SPEC_REFL = 1
@@ -74,7 +94,7 @@ def disney_subsurface(mat, n_dot_l, n_dot_v, l_dot_h, f_l, f_v):
     fss90 = l_dot_h * l_dot_h * mat.roughness
     fss = mix(1.0, fss90, f_l) * mix(1.0, fss90, f_v)
     ss = 1.25 * (fss * (1.0 / jnp.maximum(n_dot_l + n_dot_v, 1e-7) - 0.5) + 0.5)
-    return (1.0 / PI) * ss[..., None] * mat.base_col
+    return cmul(mat.base_col, (1.0 / PI) * ss)
 
 
 def disney_diffuse(mat, n_dot_l, n_dot_v, l_dot_h, feat=ALL_FEATURES):
@@ -84,26 +104,26 @@ def disney_diffuse(mat, n_dot_l, n_dot_v, l_dot_h, feat=ALL_FEATURES):
     f_v = _pow5(1.0 - n_dot_v)
 
     f_lambert = mat.base_col / PI
-    f_retro = f_lambert * (r_r * (f_l + f_v + f_l * f_v * (r_r - 1.0)))[..., None]
-    f_d = f_lambert * ((1.0 - 0.5 * f_l) * (1.0 - 0.5 * f_v))[..., None] + f_retro
+    f_retro = cmul(f_lambert, r_r * (f_l + f_v + f_l * f_v * (r_r - 1.0)))
+    f_d = cmul(f_lambert, (1.0 - 0.5 * f_l) * (1.0 - 0.5 * f_v)) + f_retro
 
     if feat.subsurface:
         ss = disney_subsurface(mat, n_dot_l, n_dot_v, l_dot_h, f_l, f_v)
-        out = mix(f_d, ss, mat.subsurface[..., None])
+        out = cmix(f_d, ss, mat.subsurface)
     else:
         out = f_d
     if feat.sheen:
         albedo_lum = luminance(mat.base_col)
-        sheen_col = jnp.where(
-            (albedo_lum > 0.0)[..., None],
-            mat.base_col / jnp.maximum(albedo_lum, 1e-20)[..., None],
+        sheen_col = cwhere(
+            albedo_lum > 0.0,
+            cdiv(mat.base_col, jnp.maximum(albedo_lum, 1e-20)),
             1.0,
         )
         sheen_schlick = _pow5(1.0 - l_dot_h)
-        sheen = (
-            mat.sheen[..., None]
-            * mix(jnp.ones_like(sheen_col), sheen_col, mat.sheen_tint[..., None])
-            * sheen_schlick[..., None]
+        sheen = cmul(
+            cmul(cmix(ones_like3(sheen_col), sheen_col, mat.sheen_tint),
+                 mat.sheen),
+            sheen_schlick,
         )
         out = out + sheen
     return out
@@ -126,22 +146,21 @@ def smith_g_ggx_aniso(n_dot_v, v_dot_x, v_dot_y, ax, ay):
 def disney_fresnel(mat, l_dot_h, feat=ALL_FEATURES):
     """renderer/bsdf.py:77-83."""
     albedo_lum = luminance(mat.base_col)
-    spec_tint = jnp.where(
-        (albedo_lum > 0.0)[..., None],
-        mat.base_col / jnp.maximum(albedo_lum, 1e-20)[..., None],
+    spec_tint = cwhere(
+        albedo_lum > 0.0,
+        cdiv(mat.base_col, jnp.maximum(albedo_lum, 1e-20)),
         1.0,
     )
-    dielectric = (
-        mat.specular[..., None]
-        * 0.08
-        * mix(jnp.ones_like(spec_tint), spec_tint, mat.specular_tint[..., None])
+    dielectric = cmul(
+        cmix(ones_like3(spec_tint), spec_tint, mat.specular_tint),
+        mat.specular * 0.08,
     )
     if feat.metallic:
-        spec_col = mix(dielectric, mat.base_col, mat.metallic[..., None])
+        spec_col = cmix(dielectric, mat.base_col, mat.metallic)
     else:
         spec_col = dielectric
     f_l = _pow5(1.0 - l_dot_h)
-    return mix(spec_col, jnp.ones_like(spec_col), f_l[..., None])
+    return cmix(spec_col, ones_like3(spec_col), f_l)
 
 
 def _aniso_alphas(mat, feat=ALL_FEATURES):
@@ -164,7 +183,7 @@ def disney_specular(mat, n_dot_l, n_dot_v, l_dot_h, n_dot_h, h_dot_x, h_dot_y,
         n_dot_v, v_dot_x, v_dot_y, ax, ay
     )
     f = disney_fresnel(mat, l_dot_h, feat)
-    return (d * g)[..., None] * f
+    return cmul(f, d * g)
 
 
 def gtr1(n_dot_h, alpha):
@@ -211,7 +230,7 @@ def _half_vectors(v, n, l, tang, bitang):
 def _metallic_scale(bsdf_d, mat, feat):
     if not feat.metallic:  # (1 - 0) multiply is exact identity
         return bsdf_d
-    return bsdf_d * (1.0 - mat.metallic)[..., None]
+    return cmul(bsdf_d, 1.0 - mat.metallic)
 
 
 def disney_evaluate_split(mat, v, n, l, tang, bitang, feat=ALL_FEATURES):
@@ -230,12 +249,11 @@ def disney_evaluate_split(mat, v, n, l, tang, bitang, feat=ALL_FEATURES):
         q["v_dot_x"], q["v_dot_y"], feat,
     )
     if feat.clearcoat:
-        bsdf_s = bsdf_s + disney_clearcoat(
+        bsdf_s = cadd(bsdf_s, disney_clearcoat(
             mat, q["n_dot_l"], q["n_dot_v"], q["n_dot_h"], q["l_dot_h"]
-        )[..., None]
+        ))
 
-    m = valid[..., None]
-    return jnp.where(m, bsdf_d, 0.0), jnp.where(m, bsdf_s, 0.0)
+    return cwhere(valid, bsdf_d, 0.0), cwhere(valid, bsdf_s, 0.0)
 
 
 def disney_evaluate(mat, v, n, l, tang, bitang, feat=ALL_FEATURES):
@@ -266,8 +284,7 @@ def disney_eval_split_pdf(mat, v, n, l, tang, bitang, feat=ALL_FEATURES):
     )
     g = smith_g_ggx_aniso(q["n_dot_l"], q["l_dot_x"], q["l_dot_y"], ax, ay) * g1_v
     f = disney_fresnel(mat, q["l_dot_h"], feat)
-    bsdf_s = (spec_d * g)[..., None] * f
-    m = valid[..., None]
+    bsdf_s = cmul(f, spec_d * g)
 
     # pdf (pdf_disney); v_dot_h kept as its own dot for bitwise parity with
     # pdf_clearcoat's dot(v, h)
@@ -283,13 +300,13 @@ def disney_eval_split_pdf(mat, v, n, l, tang, bitang, feat=ALL_FEATURES):
         cc_d = gtr1(jnp.abs(q["n_dot_h"]), cc_alpha)
         cc_f = mix(0.04, 1.0, _pow5(1.0 - q["l_dot_h"]))
         cc_g = smith_g_ggx(q["n_dot_l"], 0.25) * smith_g_ggx(q["n_dot_v"], 0.25)
-        bsdf_s = bsdf_s + (mat.clearcoat * cc_d * cc_f * cc_g)[..., None]
+        bsdf_s = cadd(bsdf_s, mat.clearcoat * cc_d * cc_f * cc_g)
         v_dot_h = dot(v, q["h"])
         pdf_c = cc_d * jnp.abs(q["n_dot_h"]) / jnp.where(
             v_dot_h == 0.0, 1e-20, 4.0 * v_dot_h
         )
         pdf = pdf + pdf_c * cw
-    return jnp.where(m, bsdf_d, 0.0), jnp.where(m, bsdf_s, 0.0), pdf
+    return cwhere(valid, bsdf_d, 0.0), cwhere(valid, bsdf_s, 0.0), pdf
 
 
 def disney_evaluate_lobewise_split(mat, v, n, l, tang, bitang, lobe_id,
@@ -302,10 +319,10 @@ def disney_evaluate_lobewise_split(mat, v, n, l, tang, bitang, lobe_id,
     want_s = (lobe_id == LOBE_SPEC_REFL) | (lobe_id == LOBE_ALL)
     want_c = (lobe_id == LOBE_CLEARC) | (lobe_id == LOBE_ALL)
 
-    bsdf_d = jnp.where(
-        (want_d & valid)[..., None],
-        disney_diffuse(mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"])
-        * (1.0 - mat.metallic)[..., None],
+    bsdf_d = cwhere(
+        want_d & valid,
+        cmul(disney_diffuse(mat, q["n_dot_l"], q["n_dot_v"], q["l_dot_h"]),
+             1.0 - mat.metallic),
         0.0,
     )
     spec = disney_specular(
@@ -314,9 +331,9 @@ def disney_evaluate_lobewise_split(mat, v, n, l, tang, bitang, lobe_id,
         q["v_dot_x"], q["v_dot_y"],
     )
     cc = disney_clearcoat(mat, q["n_dot_l"], q["n_dot_v"], q["n_dot_h"], q["l_dot_h"])
-    bsdf_s = jnp.where((want_s & valid)[..., None], spec * specular_mult, 0.0)
-    bsdf_s = bsdf_s + jnp.where(
-        (want_c & valid)[..., None], (cc * specular_mult)[..., None], 0.0
+    bsdf_s = cwhere(want_s & valid, spec * specular_mult, 0.0)
+    bsdf_s = cadd(
+        bsdf_s, jnp.where(want_c & valid, cc * specular_mult, 0.0)
     )
     return bsdf_d, bsdf_s
 
@@ -407,39 +424,58 @@ def pdf_disney(mat, v, n, l, tang, bitang):
 
 def _ggx_vndf_sample(mat, v, n, tang, bitang, ax, ay, u):
     """renderer/bsdf.py:226-252 — anisotropic GGX VNDF half-vector sample."""
+    from voxelrt.ops.sampling import _uv2
+
+    u0, u1 = _uv2(u)
     # View in tangent space with y along the normal (mat3(tang, n, bitang) @ v).
-    v_t = jnp.stack([dot(tang, v), dot(n, v), dot(bitang, v)], axis=-1)
+    vt0, vt1, vt2 = dot(tang, v), dot(n, v), dot(bitang, v)
 
-    big_v = normalize(
-        jnp.stack([v_t[..., 0] * ax, v_t[..., 1], v_t[..., 2] * ay], axis=-1)
-    )
-    up = jnp.zeros_like(big_v).at[..., 1].set(1.0)
-    t1 = jnp.where(
-        (big_v[..., 1] < 0.9999)[..., None],
-        normalize(jnp.cross(big_v, up)),
-        jnp.asarray([1.0, 0.0, 0.0], big_v.dtype),
-    )
-    t2 = jnp.cross(t1, big_v)
+    if is_v3(v):
+        big_v = vnormalize(V3(vt0 * ax, vt1, vt2 * ay))
+        up = V3(jnp.zeros((), big_v.x.dtype), jnp.ones((), big_v.x.dtype),
+                jnp.zeros((), big_v.x.dtype))
+        t1 = vwhere(
+            big_v.y < 0.9999,
+            vnormalize(vcross(big_v, up)),
+            V3(jnp.ones((), big_v.x.dtype), jnp.zeros((), big_v.x.dtype),
+               jnp.zeros((), big_v.x.dtype)),
+        )
+        t2 = vcross(t1, big_v)
+        big_v_y = big_v.y
+    else:
+        big_v = normalize(
+            jnp.stack([vt0 * ax, vt1, vt2 * ay], axis=-1)
+        )
+        up = jnp.zeros_like(big_v).at[..., 1].set(1.0)
+        t1 = jnp.where(
+            (big_v[..., 1] < 0.9999)[..., None],
+            normalize(jnp.cross(big_v, up)),
+            jnp.asarray([1.0, 0.0, 0.0], big_v.dtype),
+        )
+        t2 = jnp.cross(t1, big_v)
+        big_v_y = big_v[..., 1]
 
-    a = 1.0 / (1.0 + big_v[..., 1])
-    r = jnp.sqrt(u[..., 0])
-    lo = u[..., 1] < a
+    a = 1.0 / (1.0 + big_v_y)
+    r = jnp.sqrt(u0)
+    lo = u1 < a
     phi = jnp.where(
         lo,
-        (u[..., 1] / jnp.maximum(a, 1e-20)) * PI,
-        PI + (u[..., 1] - a) / jnp.maximum(1.0 - a, 1e-20) * PI,
+        (u1 / jnp.maximum(a, 1e-20)) * PI,
+        PI + (u1 - a) / jnp.maximum(1.0 - a, 1e-20) * PI,
     )
     p1 = r * jnp.cos(phi)
-    p2 = r * jnp.sin(phi) * jnp.where(lo, 1.0, big_v[..., 1])
+    p2 = r * jnp.sin(phi) * jnp.where(lo, 1.0, big_v_y)
 
-    m = (
-        p1[..., None] * t1
-        + p2[..., None] * t2
-        + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))[..., None] * big_v
-    )
-    m = normalize(
-        jnp.stack([ax * m[..., 0], m[..., 1], ay * m[..., 2]], axis=-1)
-    )
+    p3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    m = cmul(t1, p1) + cmul(t2, p2) + cmul(big_v, p3)
+    mx, my, mz = (m.x, m.y, m.z) if is_v3(m) else (
+        m[..., 0], m[..., 1], m[..., 2])
+    if is_v3(v):
+        m = vnormalize(V3(ax * mx, my, ay * mz))
+        m = tang * m.x + bitang * m.z + n * m.y
+        m = vwhere(dot(m, v) < 0.0, -m, m)
+        return m
+    m = normalize(jnp.stack([ax * mx, my, ay * mz], axis=-1))
     # Back to world space.
     m = m[..., 0:1] * tang + m[..., 2:3] * bitang + m[..., 1:2] * n
     m = jnp.where((dot(m, v) < 0.0)[..., None], -m, m)
@@ -467,19 +503,22 @@ def sample_specular(mat, v, n, tang, bitang, u, feat=ALL_FEATURES):
 
 def sample_clearcoat(mat, v, n, tang, bitang, u):
     """renderer/bsdf.py:201-224 — GTR1 inverse-CDF sample, returns (dir, pdf)."""
+    from voxelrt.ops.sampling import _uv2
+
+    u0, u1 = _uv2(u)
     alpha = mix(0.1, 0.001, mat.clearcoat_gloss)
     a2 = sqr(alpha)
     cos_theta = jnp.sqrt(
-        jnp.maximum(1e-4, (1.0 - _safe_pow(a2, 1.0 - u[..., 0])) / (1.0 - a2))
+        jnp.maximum(1e-4, (1.0 - _safe_pow(a2, 1.0 - u0)) / (1.0 - a2))
     )
     sin_theta = jnp.sqrt(jnp.maximum(1e-4, 1.0 - cos_theta * cos_theta))
-    phi = 2.0 * PI * u[..., 1]
+    phi = 2.0 * PI * u1
     m = (
-        (sin_theta * jnp.cos(phi))[..., None] * tang
-        + (sin_theta * jnp.sin(phi))[..., None] * bitang
-        + cos_theta[..., None] * n
+        cmul(tang, sin_theta * jnp.cos(phi))
+        + cmul(bitang, sin_theta * jnp.sin(phi))
+        + cmul(n, cos_theta)
     )
-    m = jnp.where((dot(m, v) < 0.0)[..., None], -m, m)
+    m = cwhere(dot(m, v) < 0.0, -m, m)
     sampled = reflect(-v, m)
     n_dot_h = jnp.abs(dot(n, m))
     v_dot_h = dot(v, m)
@@ -502,8 +541,11 @@ def sample_disney(mat, v, n, tang, bitang, u3, feat=ALL_FEATURES):
     statistically equivalent to the reference's independent draws.
     """
     dw, sw, cw = lobe_probabilities(mat, feat)
-    u_lobe = u3[..., 0]
-    u2 = u3[..., 1:3]
+    if isinstance(u3, tuple):
+        u_lobe, u2 = u3[0], (u3[1], u3[2])
+    else:
+        u_lobe = u3[..., 0]
+        u2 = u3[..., 1:3]
 
     dir_d, pdf_d = sample_diffuse(mat, n, u2)
     dir_s, pdf_s = sample_specular(mat, v, n, tang, bitang, u2, feat)
@@ -515,16 +557,13 @@ def sample_disney(mat, v, n, tang, bitang, u3, feat=ALL_FEATURES):
         dir_c, pdf_c = sample_clearcoat(mat, v, n, tang, bitang, u2)
         lobe = jnp.where(choose_d, LOBE_DIFFUSE,
                          jnp.where(choose_s, LOBE_SPEC_REFL, LOBE_CLEARC))
-        sample_dir = jnp.where(
-            choose_d[..., None], dir_d,
-            jnp.where(choose_s[..., None], dir_s, dir_c)
-        )
+        sample_dir = cwhere(choose_d, dir_d, cwhere(choose_s, dir_s, dir_c))
         pdf = jnp.where(choose_d, pdf_d, jnp.where(choose_s, pdf_s, pdf_c))
     else:
         # cw == 0 so the clearcoat branch is unreachable except the float
         # gap above dw+sw (see MatFeatures); fold it into specular.
         lobe = jnp.where(choose_d, LOBE_DIFFUSE, LOBE_SPEC_REFL)
-        sample_dir = jnp.where(choose_d[..., None], dir_d, dir_s)
+        sample_dir = cwhere(choose_d, dir_d, dir_s)
         pdf = jnp.where(choose_d, pdf_d, pdf_s)
         choose_s = ~choose_d
 
@@ -539,15 +578,13 @@ def sample_disney(mat, v, n, tang, bitang, u3, feat=ALL_FEATURES):
         q["v_dot_x"], q["v_dot_y"], feat,
     )
     if feat.clearcoat:
-        brdf_c = disney_clearcoat(
+        cc = disney_clearcoat(
             mat, q["n_dot_l"], q["n_dot_v"], q["n_dot_h"], q["l_dot_h"]
-        )[..., None]
-        brdf = jnp.where(
-            choose_d[..., None], brdf_d,
-            jnp.where(choose_s[..., None], brdf_s, brdf_c)
         )
+        brdf_c = V3(cc, cc, cc) if is_v3(brdf_s) else cc[..., None]
+        brdf = cwhere(choose_d, brdf_d, cwhere(choose_s, brdf_s, brdf_c))
     else:
-        brdf = jnp.where(choose_d[..., None], brdf_d, brdf_s)
+        brdf = cwhere(choose_d, brdf_d, brdf_s)
     pdf = pdf * jnp.where(choose_d, dw, jnp.where(choose_s, sw, cw))
     pdf = _scrub_pdf(pdf)
     return sample_dir, brdf, pdf, lobe

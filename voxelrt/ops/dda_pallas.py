@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from voxelrt.ops.accel import PallasTables
+from voxelrt.ops.v3 import V3
 
 LANES = 128
 SUBLANES = 8
@@ -1074,6 +1075,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     wavefront): mean 10.7 advances/ray vs 82.6 block max — ~8× lock-step
     pacing waste. Incompatible with resume_state/debug_totals.
     """
+    soa = isinstance(origin, V3)
     n = origin.shape[0]
     assert block_rows % SUBLANES == 0, block_rows
     # Candidate-B soundness: one LOD2 word must span a full X-row of cells.
@@ -1095,8 +1097,14 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
         return x
 
-    o = prep(origin)
-    d = prep(direction)
+    if soa:
+        o0, o1, o2 = prep(origin.x), prep(origin.y), prep(origin.z)
+        d0, d1, d2 = prep(direction.x), prep(direction.y), prep(direction.z)
+    else:
+        o = prep(origin)
+        d = prep(direction)
+        o0, o1, o2 = o[:, 0], o[:, 1], o[:, 2]
+        d0, d1, d2 = d[:, 0], d[:, 1], d[:, 2]
     resume = resume_state is not None
     if resume:
         rs_t, rs_n, rs_act = resume_state
@@ -1122,14 +1130,15 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         ray_spec = pl.BlockSpec((1, block_rows, LANES), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
 
-    ins = [blk(o[:, 0]), blk(o[:, 1]), blk(o[:, 2]),
-           blk(d[:, 0]), blk(d[:, 1]), blk(d[:, 2]),
+    ins = [blk(o0), blk(o1), blk(o2),
+           blk(d0), blk(d1), blk(d2),
            blk(tmin), blk(tmax)]
     n_ray_ins = 8
     if nee_mode:
         u = nee["u"]
-        ins += [blk(prep(u[:, 0].astype(jnp.float32))),
-                blk(prep(u[:, 1].astype(jnp.float32))),
+        u0, u1 = (u[0], u[1]) if isinstance(u, tuple) else (u[:, 0], u[:, 1])
+        ins += [blk(prep(u0.astype(jnp.float32))),
+                blk(prep(u1.astype(jnp.float32))),
                 blk(prep(nee["alt_t"].astype(jnp.float32)))]
         n_ray_ins = 11
         nee_scalars = jnp.concatenate([
@@ -1141,8 +1150,9 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             jnp.asarray([nee["shadow_tmin"]], jnp.float32).reshape(1),
         ])
     if resume:
-        ins += [blk(prep(rs_n[:, 0])), blk(prep(rs_n[:, 1])),
-                blk(prep(rs_n[:, 2])),
+        rn0, rn1, rn2 = ((rs_n.x, rs_n.y, rs_n.z) if isinstance(rs_n, V3)
+                         else (rs_n[:, 0], rs_n[:, 1], rs_n[:, 2]))
+        ins += [blk(prep(rn0)), blk(prep(rn1)), blk(prep(rn2)),
                 blk(prep(rs_act.astype(jnp.int32)))]
 
     def table_spec(rows):
@@ -1241,6 +1251,12 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     )(*ins, *nee_ins, lod2, solid, dist3, dist4, rankb, occm, occb, mlo,
       mhi, colors, pal, sun)
 
+    def pack3(x, y, z):
+        """Vector outputs follow the input layout: V3 in -> V3 out."""
+        if soa:
+            return V3(x, y, z)
+        return jnp.stack([x, y, z], axis=-1)
+
     if queued:
         # Unpack the per-chunk packed outputs in XLA (cheap elementwise).
         t, word, af, col = [x.reshape(npad)[:n] for x in outs]
@@ -1252,21 +1268,23 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         act = ((af >> 16) & 1) | ((af >> 18) & 1)
         nee_vis = ((af >> 21) & 1) if nee_mode else None
         if any_hit:
-            normal = jnp.zeros((n, 3), jnp.float32)
+            zero = jnp.zeros((n,), jnp.float32)
+            normal = pack3(zero, zero, zero)
         else:
             nx = (((word >> 24) & 3) - 1).astype(jnp.float32)
             ny = (((word >> 26) & 3) - 1).astype(jnp.float32)
             nz = (((word >> 28) & 3) - 1).astype(jnp.float32)
             # normal flip toward the ray (raytracer.py:151-153)
-            ndot = direction[:, 0] * nx + direction[:, 1] * ny \
-                + direction[:, 2] * nz
-            flip = ndot > 0.0
-            normal = jnp.stack([jnp.where(flip, -nx, nx),
-                                jnp.where(flip, -ny, ny),
-                                jnp.where(flip, -nz, nz)], axis=-1)
+            dd0 = direction.x if soa else direction[:, 0]
+            dd1 = direction.y if soa else direction[:, 1]
+            dd2 = direction.z if soa else direction[:, 2]
+            flip = dd0 * nx + dd1 * ny + dd2 * nz > 0.0
+            normal = pack3(jnp.where(flip, -nx, nx),
+                           jnp.where(flip, -ny, ny),
+                           jnp.where(flip, -nz, nz))
         return PallasTraceResult(
             distance=t,
-            ipos=jnp.stack([ix, iy, iz], axis=-1),
+            ipos=pack3(ix, iy, iz),
             normal=normal,
             iters=it,
             color_word=col.astype(jnp.uint32),
@@ -1279,8 +1297,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     ]
     return PallasTraceResult(
         distance=t,
-        ipos=jnp.stack([ix, iy, iz], axis=-1),
-        normal=jnp.stack([nx, ny, nz], axis=-1),
+        ipos=pack3(ix, iy, iz),
+        normal=pack3(nx, ny, nz),
         iters=it,
         color_word=col.astype(jnp.uint32),
         active=act,

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from voxelrt.ops.sampling import normalize
+from voxelrt.ops.v3 import V3, vnormalize
 
 
 def rgb32f_to_rgb8(c):
@@ -51,6 +52,31 @@ def decode_unit_vector_3x16(e):
     return normalize(jnp.stack([x, y, z], axis=-1))
 
 
+def encode_unit_vector_3x16_soa(v: V3):
+    """encode_unit_vector_3x16 on a V3 — returns (ex, ey) f16 components."""
+    l1 = jnp.abs(v.x) + jnp.abs(v.y) + jnp.abs(v.z)
+    l1 = jnp.maximum(l1, 1e-20)
+    x = v.x / l1
+    y = v.y / l1
+    sx = jnp.where(x >= 0.0, 1.0, -1.0)
+    sy = jnp.where(y >= 0.0, 1.0, -1.0)
+    fold_x = (1.0 - jnp.abs(y)) * sx
+    fold_y = (1.0 - jnp.abs(x)) * sy
+    ex = jnp.where(v.z <= 0.0, fold_x, x) * 0.5 + 0.5
+    ey = jnp.where(v.z <= 0.0, fold_y, y) * 0.5 + 0.5
+    return ex.astype(jnp.float16), ey.astype(jnp.float16)
+
+
+def decode_unit_vector_3x16_soa(ex, ey) -> V3:
+    x = ex.astype(jnp.float32) * 2.0 - 1.0
+    y = ey.astype(jnp.float32) * 2.0 - 1.0
+    z = 1.0 - jnp.abs(x) - jnp.abs(y)
+    t = jnp.maximum(-z, 0.0)
+    x = x + jnp.where(x >= 0.0, -t, t)
+    y = y + jnp.where(y >= 0.0, -t, t)
+    return vnormalize(V3(x, y, z))
+
+
 def pack_2x8(v):
     """renderer/math_utils.py:188-191 — two [0,1] floats into one f16."""
     floored = jnp.floor(255.0 * v + 0.5)
@@ -84,6 +110,27 @@ def decode_material_word(enc):
             [(enc >> 8) & 0xFF, (enc >> 16) & 0xFF, (enc >> 24) & 0xFF], axis=-1
         ).astype(jnp.float32)
         / 255.0
+    )
+    return mat_id, albedo
+
+
+def encode_material_soa(mat_id, albedo: V3):
+    """encode_material on a V3 albedo."""
+    m = mat_id.astype(jnp.uint32) & 0xFF
+    r = (albedo.x * 255.0).astype(jnp.uint32) & 0xFF
+    g = (albedo.y * 255.0).astype(jnp.uint32) & 0xFF
+    b = (albedo.z * 255.0).astype(jnp.uint32) & 0xFF
+    return m | (r << 8) | (g << 16) | (b << 24)
+
+
+def decode_material_word_soa(enc):
+    """decode_material_word returning the albedo as a V3."""
+    enc = enc.astype(jnp.uint32)
+    mat_id = (enc & 0xFF).astype(jnp.int32)
+    albedo = V3(
+        ((enc >> 8) & 0xFF).astype(jnp.float32) / 255.0,
+        ((enc >> 16) & 0xFF).astype(jnp.float32) / 255.0,
+        ((enc >> 24) & 0xFF).astype(jnp.float32) / 255.0,
     )
     return mat_id, albedo
 

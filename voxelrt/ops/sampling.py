@@ -11,6 +11,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from voxelrt.ops.v3 import (
+    V3,
+    cmul,
+    is_v3,
+    vcross,
+    vdot,
+    vnormalize,
+    vwhere,
+)
+
 EPS = 1e-6
 INF = jnp.inf
 PI = 3.141592653589793
@@ -24,11 +34,18 @@ def sqr(x):
     return x * x
 
 
-# NB: keep these as jnp.sum reduces. An unrolled x+y+z slice chain was
-# measured (round-3 HLO profile): it broke XLA's multiply_reduce fusion
-# patterns and regressed the frame 72.7 -> 82.5 ms/spp (mul/add
-# materialization tripled). The reduce formulation is the fast one.
+# Layout note: every vector helper below is polymorphic over packed
+# (..., 3) arrays and SoA V3 component triples (ops/v3.py — the render hot
+# path uses V3 for its ~16x better vreg lane utilization). For PACKED
+# inputs the formulations are kept bit-for-bit as before; in particular
+# keep the jnp.sum reduces: an unrolled x+y+z slice chain OVER PACKED
+# ARRAYS was measured (round-3 HLO profile) to break XLA's
+# multiply_reduce fusion patterns and regress the frame 72.7 -> 82.5
+# ms/spp. (V3 components are separate dense arrays — no slicing — which
+# is why the same unrolled math is the fast form THERE.)
 def dot(a, b):
+    if is_v3(a):
+        return vdot(a, b)
     return jnp.sum(a * b, axis=-1)
 
 
@@ -37,20 +54,28 @@ def dot3(a, b):
 
 
 def length(v):
+    if is_v3(v):
+        return jnp.sqrt(jnp.maximum(vdot(v, v), 0.0))
     return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 0.0))
 
 
 def normalize(v, eps: float = 1e-20):
+    if is_v3(v):
+        return vnormalize(v, eps)
     return v * jax.lax.rsqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), eps))
 
 
 def is_vec_zero(v):
     """renderer/math_utils.py:18-19 — |v|^2 < 1e-7."""
+    if is_v3(v):
+        return vdot(v, v) < 1e-7
     return jnp.sum(v * v, axis=-1) < 1e-7
 
 
 def luminance(c):
     """renderer/math_utils.py:151-153."""
+    if is_v3(c):
+        return c.x * 0.2125 + c.y * 0.7154 + c.z * 0.0721
     w = jnp.asarray([0.2125, 0.7154, 0.0721], dtype=c.dtype)
     return jnp.sum(c * w, axis=-1)
 
@@ -66,6 +91,8 @@ def smoothstep(edge0, edge1, x):
 
 def reflect(i, n):
     """GLSL reflect: i - 2*dot(n,i)*n (i points toward the surface)."""
+    if is_v3(i):
+        return i - n * (2.0 * vdot(n, i))
     return i - 2.0 * dot3(n, i) * n
 
 
@@ -75,6 +102,14 @@ def make_orthonormal_basis(n):
     h = x-axis when |n.y| > 0.9 else y-axis; y = normalize(cross(n, h));
     x = cross(n, y).
     """
+    if is_v3(n):
+        ny = jnp.abs(n.y) > 0.9
+        one = jnp.ones((), n.x.dtype)
+        zero = jnp.zeros((), n.x.dtype)
+        h = V3(jnp.where(ny, one, zero), jnp.where(ny, zero, one), zero)
+        y = vnormalize(vcross(n, h))
+        x = vcross(n, y)
+        return x, y
     ny = jnp.abs(n[..., 1:2]) > 0.9
     h = jnp.where(
         ny,
@@ -86,12 +121,21 @@ def make_orthonormal_basis(n):
     return x, y
 
 
+def _uv2(u):
+    """Uniform pair: (..., 2) array or a (u0, u1) component tuple."""
+    if isinstance(u, tuple):
+        return u
+    return u[..., 0], u[..., 1]
+
+
 def tangent_to_world(n, v_local):
     """renderer/math_utils.py:40-42 / :56-59 — columns (x, y, n) frame.
 
     v_local is expressed with z along the normal.
     """
     x, y = make_orthonormal_basis(n)
+    if is_v3(n):
+        return x * v_local.x + y * v_local.y + n * v_local.z
     return (
         x * v_local[..., 0:1] + y * v_local[..., 1:2] + n * v_local[..., 2:3]
     )
@@ -100,13 +144,18 @@ def tangent_to_world(n, v_local):
 def sample_cosine_weighted_hemisphere(n, u):
     """renderer/math_utils.py:22-30 (Shirley et al., RT Gems ch. 16).
 
-    u: (..., 2) uniforms.
+    u: (..., 2) uniforms (or a component tuple for the V3 path).
     """
-    a = 1.0 - 2.0 * u[..., 0]
+    u0, u1 = _uv2(u)
+    a = 1.0 - 2.0 * u0
     b = jnp.sqrt(jnp.maximum(1.0 - a * a, 0.0))
     a = a * (1.0 - 1e-5)
     b = b * (1.0 - 1e-5)  # grazing-angle precision fix
-    phi = 2.0 * PI * u[..., 1]
+    phi = 2.0 * PI * u1
+    if is_v3(n):
+        return vnormalize(
+            V3(n.x + b * jnp.cos(phi), n.y + b * jnp.sin(phi), n.z + a)
+        )
     v = jnp.stack(
         [
             n[..., 0] + b * jnp.cos(phi),
@@ -118,11 +167,14 @@ def sample_cosine_weighted_hemisphere(n, u):
     return normalize(v)
 
 
-def sample_cone(cos_theta_max, u):
+def sample_cone(cos_theta_max, u, soa: bool = False):
     """renderer/math_utils.py:44-54 — cone around +z, u: (..., 2)."""
-    cos_theta = (1.0 - u[..., 0]) + u[..., 0] * cos_theta_max
+    u0, u1 = _uv2(u)
+    cos_theta = (1.0 - u0) + u0 * cos_theta_max
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-    phi = 2.0 * PI * u[..., 1]
+    phi = 2.0 * PI * u1
+    if soa:
+        return V3(sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta)
     return jnp.stack(
         [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1
     )
@@ -130,7 +182,7 @@ def sample_cone(cos_theta_max, u):
 
 def sample_cone_oriented(cos_theta_max, n, u):
     """renderer/math_utils.py:56-59 — cone around direction n."""
-    return tangent_to_world(n, sample_cone(cos_theta_max, u))
+    return tangent_to_world(n, sample_cone(cos_theta_max, u, soa=is_v3(n)))
 
 
 def cone_sample_pdf(cos_theta_max, cos_theta):

@@ -221,12 +221,18 @@ def point_fetch_words(packed_words, texel_word_idx, interpret: bool = False):
 
 def unpack_words_rgb(w0, w1):
     """Decode pack_rgb_bf16 word pairs back to (N, 3) f32."""
+    r, g, b = unpack_words_rgb_soa(w0, w1)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def unpack_words_rgb_soa(w0, w1):
+    """Decode pack_rgb_bf16 word pairs to (r, g, b) component arrays."""
     w0 = w0.astype(jnp.int32)
     w1 = w1.astype(jnp.int32)
     r = jax.lax.bitcast_convert_type(w0 & jnp.int32(-65536), jnp.float32)
     g = jax.lax.bitcast_convert_type(w0 << 16, jnp.float32)
     b = jax.lax.bitcast_convert_type(w1 & jnp.int32(-65536), jnp.float32)
-    return jnp.stack([r, g, b], axis=-1)
+    return r, g, b
 
 
 def bilinear_fetch_sorted(packed_words, fx, fy, res: int,

@@ -30,6 +30,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
+from voxelrt.ops import v3
+from voxelrt.ops.v3 import V3
 from voxelrt.render import pipeline
 from voxelrt.render.pathtracer import trace_sample
 
@@ -110,14 +112,14 @@ def parallel_render(cfg, scene, params, key, spp, mesh,
 
         # init must be varying over BOTH mesh axes (shard_map scan-vma rule):
         # dp via the pixel coords, sp via the axis index.
-        acc0 = (
-            jnp.zeros((uf.shape[0], 3), jnp.float32)
-            + (uf * 0.0)[:, None]
+        acc_c = (
+            jnp.zeros((uf.shape[0],), jnp.float32)
+            + uf * 0.0
             + sp_idx.astype(jnp.float32) * 0.0
         )
-        acc = jax.lax.fori_loop(0, local_spp, body, acc0)
+        acc = jax.lax.fori_loop(0, local_spp, body, V3(acc_c, acc_c, acc_c))
         acc = jax.lax.pmean(acc / local_spp, axis_name="sp")
-        return acc.reshape(u.shape + (3,))
+        return v3.stack(acc).reshape(u.shape + (3,))
 
     fn = jax.shard_map(
         shard_fn,

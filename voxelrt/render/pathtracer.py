@@ -58,13 +58,23 @@ from voxelrt.ops.sampling import (
 )
 from voxelrt.ops.transforms import (
     linearize_depth,
-    screen_to_view,
-    view_to_screen,
-    view_to_world,
-    world_to_view,
+    screen_to_view_soa,
+    view_to_screen_z_soa,
+    view_to_world_soa,
+    world_to_view_soa,
 )
+from voxelrt.ops import v3
+from voxelrt.ops.v3 import V3, vclip, vwhere
 
 SKY_REFLECTION_DIST = 1.0e4  # finite stand-in for the reference's inf
+
+# Layout note: this module carries every per-ray 3-vector as a SoA V3
+# (three dense (N,) components, ops/v3.py) rather than a packed (N, 3)
+# array — on TPU the packed layout runs the whole shading glue at ~2.3%
+# vreg lane utilization (see ops/v3.py; measured 3.2x elementwise /2.2x
+# dot-chain win). Packed arrays appear only at module boundaries: the
+# ReSTIR reservoir dict (render/restir.py) and the image-space outputs
+# (render/pipeline.py stacks after the per-launch sample mean).
 
 
 class SceneData(NamedTuple):
@@ -112,6 +122,8 @@ def mat_features(cfg) -> MatFeatures:
 
 def firefly_filter(v, cfg):
     """renderer/pathtracer.py:22-24."""
+    if isinstance(v, V3):
+        return vclip(v, 0.0, cfg.radiance_clamp)
     return jnp.clip(v, 0.0, cfg.radiance_clamp)
 
 
@@ -119,7 +131,7 @@ def fetch_voxel_surface(cfg, scene, ipos, uv, color_word=None,
                         voxel_edges=None):
     """Voxel surface color + edge darkening (renderer/voxel_world.py:34-56).
 
-    ipos: (N, 3) grid-space cell index in [0, res); uv: (N, 3) in-cell frac.
+    ipos: V3 grid-space cell index in [0, res); uv: V3 in-cell frac.
     ``color_word`` short-circuits the grid gather when the traversal kernel
     already fetched the packed voxel word. Returns (color, is_light, mat_id).
     """
@@ -127,27 +139,30 @@ def fetch_voxel_surface(cfg, scene, ipos, uv, color_word=None,
     if color_word is not None:
         word = color_word.astype(jnp.uint32)
     else:
-        flat = (ipos[..., 2] * res + ipos[..., 1]) * res + ipos[..., 0]
+        flat = (ipos.z * res + ipos.y) * res + ipos.x
         word = jnp.take(scene.voxels, jnp.maximum(flat, 0), axis=0, mode="clip")
     mat_id = (word >> 24).astype(jnp.int32)
-    color = (
-        jnp.stack([word & 0xFF, (word >> 8) & 0xFF, (word >> 16) & 0xFF], axis=-1)
-        .astype(jnp.float32)
-        / 255.0
+    color = V3(
+        (word & 0xFF).astype(jnp.float32) / 255.0,
+        ((word >> 8) & 0xFF).astype(jnp.float32) / 255.0,
+        ((word >> 16) & 0xFF).astype(jnp.float32) / 255.0,
     )
     boundary = cfg.voxel_edges if voxel_edges is None else voxel_edges
-    near_edge = (uv < boundary) | (uv > 1.0 - boundary)
-    count = jnp.sum(near_edge.astype(jnp.int32), axis=-1)
+
+    def near_edge(c):
+        return ((c < boundary) | (c > 1.0 - boundary)).astype(jnp.int32)
+
+    count = near_edge(uv.x) + near_edge(uv.y) + near_edge(uv.z)
     f = (count >= 2).astype(jnp.float32)
-    color = color * (1.0 - 0.9 * f)[..., None]
+    color = color * (1.0 - 0.9 * f)
     is_light = mat_id == 2
     return color, is_light, mat_id
 
 
 class Hit(NamedTuple):
     closest: jax.Array  # (N,) world-space distance (inf = miss)
-    normal: jax.Array  # (N, 3)
-    albedo: jax.Array  # (N, 3)
+    normal: V3  # (N,) f32 components
+    albedo: V3  # (N,) f32 components
     hit_light: jax.Array  # (N,) bool
     mat_id: jax.Array  # (N,) i32
     iters: jax.Array  # (N,) i32 traversal advance count
@@ -175,27 +190,26 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
 
     n = origin.shape[0]
     r2 = cfg.grid_res // 4
-    cx = jnp.clip(origin[:, 0].astype(jnp.int32) >> 2, 0, r2 - 1)
-    cy = jnp.clip(origin[:, 1].astype(jnp.int32) >> 2, 0, r2 - 1)
-    cz = jnp.clip(origin[:, 2].astype(jnp.int32) >> 2, 0, r2 - 1)
+    cx = jnp.clip(origin.x.astype(jnp.int32) >> 2, 0, r2 - 1)
+    cy = jnp.clip(origin.y.astype(jnp.int32) >> 2, 0, r2 - 1)
+    cz = jnp.clip(origin.z.astype(jnp.int32) >> 2, 0, r2 - 1)
     octant = (
-        (d[:, 0] > 0).astype(jnp.int32)
-        + 2 * (d[:, 1] > 0).astype(jnp.int32)
-        + 4 * (d[:, 2] > 0).astype(jnp.int32)
+        (d.x > 0).astype(jnp.int32)
+        + 2 * (d.y > 0).astype(jnp.int32)
+        + 4 * (d.z > 0).astype(jnp.int32)
     )
     DEAD = jnp.int32(0x7FFFFFFF)
     key = (_morton3(cx, cy, cz) << 3) | octant
     key = jnp.where(mask, key, DEAD)
     idx = jnp.arange(n, dtype=jnp.int32)
     skey, sidx, o0, o1, o2, d0, d1, d2 = jax.lax.sort(
-        [key, idx, origin[:, 0], origin[:, 1], origin[:, 2],
-         d[:, 0], d[:, 1], d[:, 2]],
+        [key, idx, origin.x, origin.y, origin.z, d.x, d.y, d.z],
         num_keys=1,
     )
     stmax = jnp.where(skey != DEAD, jnp.float32(INF), 0.0)
     p1 = cfg.dda_phase1_advances
-    so = jnp.stack([o0, o1, o2], -1)
-    sd = jnp.stack([d0, d1, d2], -1)
+    so = V3(o0, o1, o2)
+    sd = V3(d0, d1, d2)
     tr = raytrace_pallas(
         tables, so, sd, tmin, stmax, cfg.grid_res,
         min(p1, cfg.max_dda_advances) if p1 else cfg.max_dda_advances,
@@ -229,8 +243,8 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
         a = tr.active != 0
         tr = PallasTraceResult(
             distance=jnp.where(a, tr2.distance, tr.distance),
-            ipos=jnp.where(a[:, None], tr2.ipos, tr.ipos),
-            normal=jnp.where(a[:, None], tr2.normal, tr.normal),
+            ipos=vwhere(a, tr2.ipos, tr.ipos),
+            normal=vwhere(a, tr2.normal, tr.normal),
             iters=tr.iters + jnp.where(a, tr2.iters, 0),
             color_word=jnp.where(a, tr2.color_word, tr.color_word),
             active=tr2.active,
@@ -241,11 +255,11 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
     # Pack hit cell + face normal into one u32 (same layout as the kernel's
     # loop state) so the unroute sort carries 4 payloads instead of 10.
     word = (
-        (tr.ipos[:, 0] + 1) | ((tr.ipos[:, 1] + 1) << 8)
-        | ((tr.ipos[:, 2] + 1) << 16)
-        | ((tr.normal[:, 0].astype(jnp.int32) + 1) << 24)
-        | ((tr.normal[:, 1].astype(jnp.int32) + 1) << 26)
-        | ((tr.normal[:, 2].astype(jnp.int32) + 1) << 28)
+        (tr.ipos.x + 1) | ((tr.ipos.y + 1) << 8)
+        | ((tr.ipos.z + 1) << 16)
+        | ((tr.normal.x.astype(jnp.int32) + 1) << 24)
+        | ((tr.normal.y.astype(jnp.int32) + 1) << 26)
+        | ((tr.normal.z.astype(jnp.int32) + 1) << 28)
     )
     _, dist, word, col = jax.lax.sort(
         [sidx, tr.distance, word, tr.color_word.astype(jnp.int32)],
@@ -253,11 +267,11 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
     )
     return tr._replace(
         distance=dist,
-        ipos=jnp.stack([(word & 255) - 1, ((word >> 8) & 255) - 1,
-                        ((word >> 16) & 255) - 1], -1),
-        normal=jnp.stack([(((word >> 24) & 3) - 1).astype(jnp.float32),
-                          (((word >> 26) & 3) - 1).astype(jnp.float32),
-                          (((word >> 28) & 3) - 1).astype(jnp.float32)], -1),
+        ipos=V3((word & 255) - 1, ((word >> 8) & 255) - 1,
+                ((word >> 16) & 255) - 1),
+        normal=V3((((word >> 24) & 3) - 1).astype(jnp.float32),
+                  (((word >> 26) & 3) - 1).astype(jnp.float32),
+                  (((word >> 28) & 3) - 1).astype(jnp.float32)),
         color_word=col.astype(jnp.uint32),
     )
 
@@ -283,25 +297,25 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
     """
     n = pos.shape[0]
     closest = jnp.full((n,), jnp.float32(INF))
-    normal = jnp.zeros((n, 3), jnp.float32)
-    albedo = jnp.ones((n, 3), jnp.float32)
+    normal = v3.zeros((n,))
+    albedo = v3.ones((n,))
     hit_light = jnp.zeros((n,), jnp.bool_)
     mat_id = jnp.zeros((n,), jnp.int32)
 
     # --- implicit floor plane (renderer/pathtracer.py:152-190)
-    dy = d[..., 1]
-    floor_dist = (params.floor_height - pos[..., 1]) / jnp.where(dy == 0.0, 1e-20, dy)
-    hit_pos = pos + d * floor_dist[..., None]
+    dy = d.y
+    floor_dist = (params.floor_height - pos.y) / jnp.where(dy == 0.0, 1e-20, dy)
+    hit_pos = pos + d * floor_dist
     # The reference's extent check subtracts the scalar dot(hit_pos, normal)
     # from the vector hit_pos (a quirky broadcast) — reproduced verbatim.
-    extent = length(hit_pos - hit_pos[..., 1:2])
+    extent = length(hit_pos - hit_pos.y)
     floor_ok = mask & (floor_dist > EPS) & (floor_dist < closest) & (extent < 10.0)
     closest = jnp.where(floor_ok, floor_dist, closest)
-    normal = jnp.where(floor_ok[..., None], jnp.asarray([0.0, 1.0, 0.0]), normal)
+    normal = vwhere(floor_ok, V3(0.0, 1.0, 0.0), normal)
     # Floor normal flip (pathtracer.py:186-187).
     flip = floor_ok & (dy > 0.0)
-    normal = jnp.where(flip[..., None], -normal, normal)
-    albedo = jnp.where(floor_ok[..., None], params.floor_color, albedo)
+    normal = vwhere(flip, -normal, normal)
+    albedo = vwhere(floor_ok, v3.splat(params.floor_color), albedo)
     hit_light = jnp.where(floor_ok, params.floor_material == 2, hit_light)
     mat_id = jnp.where(floor_ok, params.floor_material.astype(jnp.int32), mat_id)
 
@@ -354,13 +368,15 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
     else:
         assert nee_u is None, "in-kernel NEE requires the Pallas backend"
         pyr = OccupancyPyramid(scene.occ_words, cfg.grid_res, cfg.n_lods)
-        tr = raytrace(pyr, eye_scaled, d, EPS, tmax, cfg.max_dda_advances)
+        tr = raytrace(pyr, v3.stack(eye_scaled), v3.stack(d), EPS, tmax,
+                      cfg.max_dda_advances)
+        tr = tr._replace(ipos=v3.load(tr.ipos), normal=v3.load(tr.normal))
     vox_dist = tr.distance * cfg.voxel_dx
     vox_ok = mask & (vox_dist < closest)
     closest = jnp.where(vox_ok, vox_dist, closest)
     if not shadow_ray:
-        uv = jnp.clip(
-            eye_scaled + tr.distance[..., None] * d - tr.ipos.astype(jnp.float32),
+        uv = vclip(
+            eye_scaled + d * tr.distance - tr.ipos.astype(jnp.float32),
             0.0,
             1.0,
         )
@@ -368,8 +384,8 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
             cfg, scene, tr.ipos, uv, color_word=color_word,
             voxel_edges=params.voxel_edges,
         )
-        normal = jnp.where(vox_ok[..., None], tr.normal, normal)
-        albedo = jnp.where(vox_ok[..., None], color, albedo)
+        normal = vwhere(vox_ok, tr.normal, normal)
+        albedo = vwhere(vox_ok, color, albedo)
         hit_light = jnp.where(vox_ok, v_is_light, hit_light)
         mat_id = jnp.where(vox_ok, v_mat, mat_id)
 
@@ -388,21 +404,24 @@ def get_cast_dir(cfg, params, key, u, v, camera_is_moving: bool,
     progressive sample here == one frame there), so a static-camera
     accumulation anti-aliases exactly like the reference's frame loop.
 
-    ``jitter_u``: optional (N, 2) raw uniforms replacing the per-call draw —
-    used when several samples' rays are traced in one batched wavefront,
-    each sample slice carrying its own sample-key jitter.
+    ``jitter_u``: optional (u0, u1) raw uniform components replacing the
+    per-call draw — used when several samples' rays are traced in one
+    batched wavefront, each sample slice carrying its own sample-key jitter.
     """
-    inv_res = jnp.asarray(
-        [1.0 / cfg.image_res[0], 1.0 / cfg.image_res[1]], jnp.float32
-    )
-    texcoord = (jnp.stack([u, v], axis=-1) + 0.5) * inv_res / render_scale
+    iw = jnp.float32(1.0 / cfg.image_res[0])
+    ih = jnp.float32(1.0 / cfg.image_res[1])
+    tc_u = (u + 0.5) * iw / render_scale
+    tc_v = (v + 0.5) * ih / render_scale
     if not camera_is_moving:
         if jitter_u is None:
-            jitter_u = jax.random.uniform(jax.random.fold_in(key, 417), (2,))
-        jitter = (jitter_u * 2.0 - 1.0) * inv_res
-        texcoord = texcoord + jitter * 0.5
-    d = normalize(screen_to_view(texcoord, 1.0, params.proj_inv))
-    d = view_to_world(d, params.view_inv, 0.0)
+            ju = jax.random.uniform(jax.random.fold_in(key, 417), (2,))
+            j0, j1 = ju[0], ju[1]
+        else:
+            j0, j1 = jitter_u
+        tc_u = tc_u + (j0 * 2.0 - 1.0) * iw * 0.5
+        tc_v = tc_v + (j1 * 2.0 - 1.0) * ih * 0.5
+    d = normalize(screen_to_view_soa(tc_u, tc_v, 1.0, params.proj_inv))
+    d = view_to_world_soa(d, params.view_inv, 0.0)
     return normalize(d)
 
 
@@ -416,51 +435,58 @@ def sample_sky(cfg, scene, params, d, u3, scattered=False, want_trans=True):
         return sample_skybox(cfg, scene.sky, d, u3, scattered=scattered,
                              want_trans=want_trans)
     n = d.shape[0]
-    scatt = jnp.broadcast_to(params.background_color, (n, 3))
+    scatt = v3.map1(lambda c: jnp.broadcast_to(c, (n,)),
+                    v3.splat(params.background_color))
     if not want_trans:
         return scatt, None
-    trans = jnp.ones((n, 3), jnp.float32)
-    return scatt, trans
+    return scatt, v3.ones((n,))
 
 
 def _sky_emission(cfg, params, d, scatt, trans):
     """Escape radiance: in-scatter + sun disk through the transmittance
     (renderer/pathtracer.py:499-517)."""
-    n = d.shape[0]
     hit_sun = (
-        dot(jnp.broadcast_to(params.light_direction, (n, 3)), d)
+        dot(v3.splat(params.light_direction), d)
         >= params.light_cone_cos_theta_max
     ).astype(jnp.float32)
     return firefly_filter(
         scatt
-        + trans * cfg.light_weight * params.light_color * hit_sun[..., None],
+        + trans * cfg.light_weight * v3.splat(params.light_color) * hit_sun,
         cfg,
     )
 
 
 def sky_transmittance(cfg, scene, d):
-    """Sun transmittance for NEE (renderer/pathtracer.py:465-466)."""
+    """Sun transmittance for NEE (renderer/pathtracer.py:465-466).
+
+    ``d`` is a V3 (per-ray directions) or a packed (1, 3) array (the
+    cone-centre evaluation); the return layout follows the input."""
     if cfg.use_physical_sky:
         from voxelrt.sky.atmos import sample_skybox_transmittance
 
         return sample_skybox_transmittance(cfg, scene.sky, d)
+    if isinstance(d, V3):
+        one = jnp.ones(d.shape, jnp.float32)
+        return V3(one, one, one)
     return jnp.ones(d.shape[:-1] + (3,), jnp.float32)
 
 
 def nee_transmittance(cfg, scene, params, light_dir):
-    """Sun transmittance for a cone-sampled NEE direction set.
+    """Sun transmittance for a cone-sampled NEE direction set (a V3).
 
     cfg.nee_transmittance == 'center' evaluates the skybox once at the cone
-    centre (a (1, 3) fetch, broadcast over the wavefront) — see config.py for
-    the measured sub-percent deviation bound; 'per_ray' fetches per direction
-    like the reference (renderer/pathtracer.py:465-466). The ReSTIR path
-    always fetches per ray: its GRIS shift re-evaluates stored NEE terms
-    (render/restir.py) and must see the same transmittance function."""
+    centre (a (1,)-component fetch, broadcast over the wavefront) — see
+    config.py for the measured sub-percent deviation bound; 'per_ray'
+    fetches per direction like the reference
+    (renderer/pathtracer.py:465-466). The ReSTIR path always fetches per
+    ray: its GRIS shift re-evaluates stored NEE terms (render/restir.py)
+    and must see the same transmittance function."""
     if (cfg.nee_transmittance == "center" and cfg.use_physical_sky
             and not cfg.use_restir_pt):
-        return sky_transmittance(
+        t = sky_transmittance(
             cfg, scene, jnp.asarray(params.light_direction)[None, :]
         )
+        return v3.load(t)  # (1,) components, broadcast over the wavefront
     return sky_transmittance(cfg, scene, light_dir)
 
 
@@ -478,30 +504,33 @@ def trace_sample(cfg, scene, params, key, u, v,
     whole dead blocks and tightens per-block fetch working sets.
     """
     n = u.shape[0]
-    f3 = lambda: jnp.zeros((n, 3), jnp.float32)
+    f3 = lambda: jnp.zeros((n, 3), jnp.float32)  # packed (ReSTIR boundary)
+    v3z = lambda: v3.zeros((n,))
 
     d = get_cast_dir(cfg, params, key, u, v, camera_is_moving, render_scale,
                      jitter_u=jitter_u)
-    pos = jnp.broadcast_to(params.camera_pos, (n, 3))
+    pos = v3.map1(lambda c: jnp.broadcast_to(c, (n,)),
+                  v3.splat(params.camera_pos))
 
     # is_outside_render_area (renderer/pathtracer.py:289-291).
     inside = ~(
         (u > render_scale * cfg.image_res[0]) | (v > render_scale * cfg.image_res[1])
     )
 
-    contrib = f3()
-    throughput = jnp.ones((n, 3), jnp.float32)
+    contrib = v3z()
+    throughput = v3.ones((n,))
 
-    primary_normal_oct = jnp.zeros((n, 2), jnp.float16)
-    primary_pos = f3()
+    primary_normal_oct = (jnp.zeros((n,), jnp.float16),
+                          jnp.zeros((n,), jnp.float16))
+    primary_pos = v3z()
     primary_mat_info = jnp.zeros((n,), jnp.uint32)
-    primary_albedo = jnp.ones((n, 3), jnp.float32)
+    primary_albedo = v3.ones((n,))
 
     first_bounce_lobe_id = jnp.zeros((n,), jnp.int32)
     first_bounce_invpdf = jnp.ones((n,), jnp.float32)
-    first_nee_diffuse = f3()
-    first_nee_specular = f3()
-    first_bounce_dir = f3()
+    first_nee_diffuse = v3z()
+    first_nee_specular = v3z()
+    first_bounce_dir = v3z()
     first_light_sample_bsdf_pdf = jnp.ones((n,), jnp.float32)
     first_bounce_reflection_dist = jnp.zeros((n,), jnp.float32)
     is_sky_ray = jnp.zeros((n,), jnp.bool_)
@@ -510,9 +539,10 @@ def trace_sample(cfg, scene, params, key, u, v,
     # ReSTIR path needs per-depth sky values for its rc bookkeeping and
     # keeps the inline evaluation).
     defer_sky = not cfg.use_restir_pt
-    esc_dir = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
-    esc_u3 = jnp.zeros((n, 3), jnp.float32)
-    esc_weight = f3()
+    zero_n = jnp.zeros((n,), jnp.float32)
+    esc_dir = V3(zero_n, jnp.ones((n,), jnp.float32), zero_n)
+    esc_u3 = v3z()
+    esc_weight = v3z()
 
     tracing = inside  # rays still walking the bounce loop
 
@@ -521,16 +551,21 @@ def trace_sample(cfg, scene, params, key, u, v,
     # bitwise independent of how pixels are sharded across chips — the
     # dp-only multi-chip paths reproduce the single-device image exactly
     # (shaped jax.random draws would depend on the local shard shape).
+    # out_axes=1 lays the draws out (n_draws, N): each slot is a dense
+    # sublane row (the (N, n_draws) layout would put the 33 slots in 33 of
+    # 128 vreg lanes).
     pid = u.astype(jnp.int32) * jnp.int32(cfg.image_res[1]) + v.astype(jnp.int32)
     n_draws = 8 * cfg.max_ray_depth + 1
     if sample_keys is None:
         keys_px = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pid)
     else:
         keys_px = jax.vmap(jax.random.fold_in)(sample_keys, pid)
-    draws = jax.vmap(lambda k: jax.random.uniform(k, (n_draws,)))(keys_px)
+    draws = jax.vmap(lambda k: jax.random.uniform(k, (n_draws,)),
+                     out_axes=1)(keys_px)
 
     # ReSTIR-PT input-sample state (renderer/pathtracer.py:336-347, 381-391);
-    # only materialized when the feature is compiled in.
+    # only materialized when the feature is compiled in. Kept PACKED — this
+    # dict is the render/restir.py module boundary.
     if cfg.use_restir_pt:
         rc = dict(
             rc_pos=f3(), rc_normal=f3(), rc_incident_dir=f3(),
@@ -551,9 +586,9 @@ def trace_sample(cfg, scene, params, key, u, v,
 
     for depth in range(cfg.max_ray_depth):
         base = 8 * depth
-        u_nee = draws[:, base : base + 2]
-        u_bsdf = draws[:, base + 2 : base + 5]
-        u_sky = draws[:, base + 5 : base + 8]
+        u_nee = (draws[base], draws[base + 1])
+        u_bsdf = (draws[base + 2], draws[base + 3], draws[base + 4])
+        u_sky = V3(draws[base + 5], draws[base + 6], draws[base + 7])
 
         if use_knee:
             hit, knee_vis = next_hit(cfg, scene, params, pos, d, tracing,
@@ -565,23 +600,22 @@ def trace_sample(cfg, scene, params, key, u, v,
         hit_mat = fetch_material(scene.mat_params, hit.mat_id, hit.albedo,
                                  used_ids=cfg.material_ids)
         finite_closest = jnp.isfinite(hit.closest)
-        hit_pos = pos + jnp.where(finite_closest, hit.closest, 0.0)[..., None] * d
+        hit_pos = pos + d * jnp.where(finite_closest, hit.closest, 0.0)
 
         if depth == 0:
-            primary_normal_oct = jnp.where(
-                tracing[..., None],
-                packing.encode_unit_vector_3x16(hit.normal),
-                primary_normal_oct,
+            oct_x, oct_y = packing.encode_unit_vector_3x16_soa(hit.normal)
+            primary_normal_oct = (
+                jnp.where(tracing, oct_x, primary_normal_oct[0]),
+                jnp.where(tracing, oct_y, primary_normal_oct[1]),
             )
-            primary_pos = jnp.where(
-                (tracing & finite_closest)[..., None], hit_pos, primary_pos
-            )
+            primary_pos = vwhere(tracing & finite_closest, hit_pos,
+                                 primary_pos)
             primary_mat_info = jnp.where(
                 tracing,
-                packing.encode_material(hit.mat_id, hit.albedo),
+                packing.encode_material_soa(hit.mat_id, hit.albedo),
                 primary_mat_info,
             )
-            primary_albedo = jnp.where(tracing[..., None], hit.albedo, primary_albedo)
+            primary_albedo = vwhere(tracing, hit.albedo, primary_albedo)
         elif depth == 1:
             add_refl = tracing & (first_bounce_lobe_id != LOBE_DIFFUSE)
             first_bounce_reflection_dist = first_bounce_reflection_dist + jnp.where(
@@ -592,17 +626,19 @@ def trace_sample(cfg, scene, params, key, u, v,
             if cfg.use_restir_pt:
                 # rc vertex capture (renderer/pathtracer.py:409-414).
                 t3 = tracing[..., None]
-                rc["rc_pos"] = jnp.where(t3, hit_pos, rc["rc_pos"])
-                rc["rc_normal"] = jnp.where(t3, hit.normal, rc["rc_normal"])
+                rc["rc_pos"] = jnp.where(t3, v3.stack(hit_pos), rc["rc_pos"])
+                rc["rc_normal"] = jnp.where(t3, v3.stack(hit.normal),
+                                            rc["rc_normal"])
                 rc["rc_mat_info"] = jnp.where(
-                    tracing, packing.encode_material(hit.mat_id, hit.albedo),
+                    tracing,
+                    packing.encode_material_soa(hit.mat_id, hit.albedo),
                     rc["rc_mat_info"],
                 )
         elif depth == 2:
             if cfg.use_restir_pt:
                 # renderer/pathtracer.py:416-417.
                 rc["rc_incident_dir"] = jnp.where(
-                    tracing[..., None], d, rc["rc_incident_dir"]
+                    tracing[..., None], v3.stack(d), rc["rc_incident_dir"]
                 )
 
         surf = tracing & ~hit.hit_light & finite_closest
@@ -615,43 +651,46 @@ def trace_sample(cfg, scene, params, key, u, v,
             # DEFERRED: record the escape direction/weight here and evaluate
             # the sky exactly once after the bounce loop — 1 skybox fetch per
             # sample instead of max_ray_depth of them.
-            t3 = term_sky[..., None]
-            esc_dir = jnp.where(t3, d, esc_dir)
-            esc_u3 = jnp.where(t3, u_sky, esc_u3)
-            esc_weight = jnp.where(t3, throughput, esc_weight)
+            esc_dir = vwhere(term_sky, d, esc_dir)
+            esc_u3 = vwhere(term_sky, u_sky, esc_u3)
+            esc_weight = vwhere(term_sky, throughput, esc_weight)
         else:
             sky_scatt, sky_trans = sample_sky(cfg, scene, params, d, u_sky)
             sky_emission = _sky_emission(cfg, params, d, sky_scatt, sky_trans)
-            contrib = contrib + jnp.where(
-                term_sky[..., None], throughput * sky_emission, 0.0
+            contrib = contrib + vwhere(
+                term_sky, throughput * sky_emission, 0.0
             )
         if depth == 0:
             is_sky_ray = term_sky
-            primary_pos = jnp.where(term_sky[..., None], 0.0, primary_pos)
+            primary_pos = vwhere(term_sky, 0.0, primary_pos)
         if cfg.use_restir_pt:
             if depth == 1:
                 # Escape at the rc vertex: rc_pos becomes a direction and
                 # rc_incident_L the sky color (renderer/pathtracer.py:512-514).
-                rc["rc_pos"] = jnp.where(term_sky[..., None], d, rc["rc_pos"])
+                rc["rc_pos"] = jnp.where(term_sky[..., None], v3.stack(d),
+                                         rc["rc_pos"])
                 rc["rc_incident_L"] = jnp.where(
-                    term_sky[..., None], sky_emission, rc["rc_incident_L"]
+                    term_sky[..., None], v3.stack(sky_emission),
+                    rc["rc_incident_L"]
                 )
             if depth >= 2:
                 rc["rc_incident_L"] = rc["rc_incident_L"] + jnp.where(
                     term_sky[..., None],
-                    firefly_filter(throughput_after_rc * sky_emission, cfg),
+                    firefly_filter(
+                        throughput_after_rc * v3.stack(sky_emission), cfg),
                     0.0,
                 )
 
         # --- emissive voxel/floor hit terminates (pathtracer.py:518-525)
         if depth > 0:
-            contrib = contrib + jnp.where(
-                term_light[..., None], throughput * hit.albedo, 0.0
+            contrib = contrib + vwhere(
+                term_light, throughput * hit.albedo, 0.0
             )
         if cfg.use_restir_pt and depth >= 2:
             rc["rc_incident_L"] = rc["rc_incident_L"] + jnp.where(
                 term_light[..., None],
-                firefly_filter(throughput_after_rc * hit.albedo, cfg),
+                firefly_filter(
+                    throughput_after_rc * v3.stack(hit.albedo), cfg),
                 0.0,
             )
 
@@ -665,9 +704,10 @@ def trace_sample(cfg, scene, params, key, u, v,
 
         nee_visible = jnp.zeros((n,), jnp.float32)
         if cfg.use_directional_light:
+            ld = v3.splat(params.light_direction)
             light_dir = sample_cone_oriented(
                 params.light_cone_cos_theta_max,
-                jnp.broadcast_to(params.light_direction, (n, 3)),
+                v3.map1(lambda c: jnp.broadcast_to(c, (n,)), ld),
                 u_nee,
             )
             ndl = dot(light_dir, hit.normal)
@@ -687,11 +727,11 @@ def trace_sample(cfg, scene, params, key, u, v,
                 # kernel verdict covers voxel occlusion; the floor plane is
                 # a closed-form check (renderer/pathtracer.py:152-190 quirky
                 # extent bound included)
-                dyl = light_dir[..., 1]
-                fd = (params.floor_height - spos[..., 1]) / jnp.where(
+                dyl = light_dir.y
+                fd = (params.floor_height - spos.y) / jnp.where(
                     dyl == 0.0, 1e-20, dyl)
-                hpf = spos + light_dir * fd[..., None]
-                floor_occ = (fd > EPS) & (length(hpf - hpf[..., 1:2]) < 10.0)
+                hpf = spos + light_dir * fd
+                floor_occ = (fd > EPS) & (length(hpf - hpf.y) < 10.0)
                 visible = shadow_mask & (knee_vis != 0) & ~floor_occ
             else:
                 sh = next_hit(cfg, scene, params, spos, light_dir,
@@ -706,20 +746,21 @@ def trace_sample(cfg, scene, params, key, u, v,
 
             strans = nee_transmittance(cfg, scene, params, light_dir)
             scale = (
-                light_mis * cfg.light_weight * jnp.maximum(ndl, 0.0)
-            )[..., None] * params.light_color * strans
+                (light_mis * cfg.light_weight * jnp.maximum(ndl, 0.0))
+                * v3.splat(params.light_color) * strans
+            )
             nee_d = bsdf_d * scale
             nee_s = bsdf_s * scale
             if depth == 0:
-                first_nee_diffuse = first_nee_diffuse + jnp.where(
-                    visible[..., None], firefly_filter(throughput * nee_d, cfg), 0.0
+                first_nee_diffuse = first_nee_diffuse + vwhere(
+                    visible, firefly_filter(throughput * nee_d, cfg), 0.0
                 )
-                first_nee_specular = first_nee_specular + jnp.where(
-                    visible[..., None], firefly_filter(throughput * nee_s, cfg), 0.0
+                first_nee_specular = first_nee_specular + vwhere(
+                    visible, firefly_filter(throughput * nee_s, cfg), 0.0
                 )
             else:
-                contrib = contrib + jnp.where(
-                    visible[..., None],
+                contrib = contrib + vwhere(
+                    visible,
                     firefly_filter(throughput * (nee_d + nee_s), cfg),
                     0.0,
                 )
@@ -727,13 +768,14 @@ def trace_sample(cfg, scene, params, key, u, v,
                 if depth == 1:
                     # renderer/pathtracer.py:454-455.
                     rc["rc_NEE_dir"] = jnp.where(
-                        visible[..., None], light_dir, rc["rc_NEE_dir"]
+                        visible[..., None], v3.stack(light_dir),
+                        rc["rc_NEE_dir"]
                     )
                 if depth >= 2:
                     # renderer/pathtracer.py:475-476 (no firefly clamp here).
                     rc["rc_incident_L"] = rc["rc_incident_L"] + jnp.where(
                         visible[..., None],
-                        throughput_after_rc * (nee_d + nee_s),
+                        throughput_after_rc * v3.stack(nee_d + nee_s),
                         0.0,
                     )
 
@@ -745,40 +787,38 @@ def trace_sample(cfg, scene, params, key, u, v,
         new_d, bsdf, pdf, lobe = sample_disney(hit_mat, view, hit.normal, tang,
                                                bitang, u_bsdf,
                                                feat=mat_features(cfg))
-        bounce_weight = bsdf * saturate(dot(new_d, hit.normal))[..., None]
+        bounce_weight = bsdf * saturate(dot(new_d, hit.normal))
         if depth == 0:
             first_bounce_invpdf = jnp.where(surf, 1.0 / pdf, first_bounce_invpdf)
             first_bounce_lobe_id = jnp.where(surf, lobe, first_bounce_lobe_id)
-            first_bounce_dir = jnp.where(surf[..., None], new_d, first_bounce_dir)
+            first_bounce_dir = vwhere(surf, new_d, first_bounce_dir)
             if cfg.use_directional_light:
-                first_light_sample_dir = jnp.where(
-                    surf[..., None], light_dir, f3()
-                )
+                first_light_sample_dir = vwhere(surf, light_dir, 0.0)
         else:
-            bounce_weight = bounce_weight / pdf[..., None]
+            bounce_weight = bounce_weight / pdf
             bsdf_light_pdf = cone_sample_pdf(
                 params.light_cone_cos_theta_max,
-                dot(jnp.broadcast_to(params.light_direction, (n, 3)), new_d),
+                dot(v3.splat(params.light_direction), new_d),
             )
             bounce_weight = bounce_weight * power_heuristic(
                 pdf, nee_visible * bsdf_light_pdf
-            )[..., None]
+            )
         if cfg.use_restir_pt:
             if depth == 1:
                 rc_bounce_lobe_id = jnp.where(surf, lobe, rc_bounce_lobe_id)
             if depth >= 2:
                 throughput_after_rc = jnp.where(
-                    surf[..., None], throughput_after_rc * bounce_weight,
+                    surf[..., None],
+                    throughput_after_rc * v3.stack(bounce_weight),
                     throughput_after_rc,
                 )
-        throughput = jnp.where(surf[..., None], throughput * bounce_weight,
-                               throughput)
-        d = jnp.where(surf[..., None], new_d, d)
-        pos = jnp.where(surf[..., None], spos, pos)
+        throughput = vwhere(surf, throughput * bounce_weight, throughput)
+        d = vwhere(surf, new_d, d)
+        pos = vwhere(surf, spos, pos)
 
     # --- deferred escape sky (single fetch for the whole bounce loop) -------
     if defer_sky:
-        esc_any = jnp.any(esc_weight != 0.0, axis=-1)
+        esc_any = v3.any_nonzero(esc_weight)
         # The transmittance map is only consumed through the sun-disk term
         # of _sky_emission — i.e. for escape directions INSIDE the NEE sun
         # cone (hit_sun gates it). That is exactly the 0.72° domain over
@@ -792,26 +832,21 @@ def trace_sample(cfg, scene, params, key, u, v,
             want_trans=not cheap_sun_trans,
         )
         if sky_trans is None:
-            sky_trans = jnp.broadcast_to(
-                sky_transmittance(
-                    cfg, scene, jnp.asarray(params.light_direction)[None, :]
-                ),
-                (n, 3),
-            )
+            sky_trans = v3.load(sky_transmittance(
+                cfg, scene, jnp.asarray(params.light_direction)[None, :]
+            ))  # (1,) components broadcast over the wavefront
         sky_emission = _sky_emission(cfg, params, esc_dir, sky_scatt, sky_trans)
-        contrib = contrib + jnp.where(
-            esc_any[..., None], esc_weight * sky_emission, 0.0
-        )
+        contrib = contrib + vwhere(esc_any, esc_weight * sky_emission, 0.0)
 
     # --- epilogue (renderer/pathtracer.py:535-632) ---------------------------
-    primary_pos_view = world_to_view(primary_pos, params.view)
-    gbuff_depth = view_to_screen(primary_pos_view, params.proj)[..., 2]
+    primary_pos_view = world_to_view_soa(primary_pos, params.view)
+    gbuff_depth = view_to_screen_z_soa(primary_pos_view, params.proj)
 
-    primary_dir = normalize(primary_pos - params.camera_pos)
-    virtual_point = primary_pos + primary_dir * first_bounce_reflection_dist[..., None]
-    refl_depth = view_to_screen(
-        world_to_view(virtual_point, params.view), params.proj
-    )[..., 2]
+    primary_dir = normalize(primary_pos - v3.splat(params.camera_pos))
+    virtual_point = primary_pos + primary_dir * first_bounce_reflection_dist
+    refl_depth = view_to_screen_z_soa(
+        world_to_view_soa(virtual_point, params.view), params.proj
+    )
     gbuff_depth_reflection = jnp.where(
         first_bounce_reflection_dist != 0.0,
         linearize_depth(refl_depth, params.proj_inv),
@@ -830,19 +865,16 @@ def trace_sample(cfg, scene, params, key, u, v,
         light_sample_mis = power_heuristic(light_pdf_one, first_light_sample_bsdf_pdf)
         apply = ~is_sky_ray
         if not cfg.use_restir_pt:
-            nee_d_out = jnp.where(
-                apply[..., None], nee_d_out * light_sample_mis[..., None], nee_d_out
-            )
-            nee_s_out = jnp.where(
-                apply[..., None], nee_s_out * light_sample_mis[..., None], nee_s_out
-            )
+            nee_d_out = vwhere(apply, nee_d_out * light_sample_mis, nee_d_out)
+            nee_s_out = vwhere(apply, nee_s_out * light_sample_mis, nee_s_out)
 
     if cfg.use_restir_pt:
-        # Build the input reservoir (renderer/pathtracer.py:549-607).
+        # Build the input reservoir (renderer/pathtracer.py:549-607) —
+        # PACKED throughout (the render/restir.py module boundary).
         z = dict(rc)
-        z["F"] = contrib
+        z["F"] = v3.stack(contrib)
         z["lobes"] = rc_bounce_lobe_id * 10 + first_bounce_lobe_id
-        dir_x1x2 = z["rc_pos"] - primary_pos
+        dir_x1x2 = z["rc_pos"] - v3.stack(primary_pos)
         denom = jnp.abs(dot(normalize(dir_x1x2), z["rc_normal"]))
         z["cached_jacobian_term"] = dot(dir_x1x2, dir_x1x2) / jnp.maximum(
             denom, 1e-20
@@ -854,8 +886,7 @@ def trace_sample(cfg, scene, params, key, u, v,
             bsdf_pdf0 = 1.0 / first_bounce_invpdf
             bsdf_light_pdf0 = cone_sample_pdf(
                 params.light_cone_cos_theta_max,
-                dot(jnp.broadcast_to(params.light_direction, (n, 3)),
-                    first_bounce_dir),
+                dot(v3.splat(params.light_direction), first_bounce_dir),
             )
             bsdf_light_pdf0 = jnp.where(
                 is_vec_zero(first_nee_diffuse + first_nee_specular),
@@ -870,7 +901,7 @@ def trace_sample(cfg, scene, params, key, u, v,
             )
             # WRS input of the NEE sample (renderer/pathtracer.py:588-598,
             # reservoir.py:65-74) — vectorized.
-            u_wrs = draws[:, 8 * cfg.max_ray_depth]
+            u_wrs = draws[8 * cfg.max_ray_depth]
             new_weight = res_weight + light_sample_weight
             sel = (light_sample_weight > 0.0) & (
                 u_wrs * new_weight <= light_sample_weight
@@ -879,11 +910,14 @@ def trace_sample(cfg, scene, params, key, u, v,
             strans0 = nee_transmittance(cfg, scene, params,
                                         first_light_sample_dir)
             light_z = dict(
-                F=first_nee_diffuse + first_nee_specular,
-                rc_pos=first_light_sample_dir,
+                F=v3.stack(first_nee_diffuse + first_nee_specular),
+                rc_pos=v3.stack(first_light_sample_dir),
                 rc_normal=f3(),
                 rc_incident_dir=f3(),
-                rc_incident_L=strans0 * cfg.light_weight * params.light_color,
+                rc_incident_L=v3.stack(
+                    strans0 * cfg.light_weight
+                    * v3.splat(params.light_color)
+                ),
                 rc_NEE_dir=f3(),
                 rc_mat_info=jnp.zeros((n,), jnp.uint32),
                 cached_jacobian_term=jnp.ones((n,), jnp.float32),
@@ -899,7 +933,7 @@ def trace_sample(cfg, scene, params, key, u, v,
             res_m = jnp.where(apply, 2.0, res_m)  # input_sample does M += 1
             chose_nee = sel
         else:
-            res_weight = luminance(contrib) * first_bounce_invpdf
+            res_weight = luminance(z["F"]) * first_bounce_invpdf
 
         # finalize_without_M (reservoir.py:96-102) for non-sky rays.
         p_hat_final = luminance(z["F"])
@@ -908,44 +942,45 @@ def trace_sample(cfg, scene, params, key, u, v,
         res_weight = jnp.where(is_sky_ray, 1.0, fin)
         reservoir = dict(z, M=res_m, weight=res_weight)
 
-    prim_mat_id, prim_albedo_dec = packing.decode_material_word(primary_mat_info)
-    emission = jnp.where((prim_mat_id == 2)[..., None], prim_albedo_dec, 0.0)
+    prim_mat_id, prim_albedo_dec = packing.decode_material_word_soa(
+        primary_mat_info)
+    emission = vwhere(prim_mat_id == 2, prim_albedo_dec, 0.0)
 
     lobe_diff = first_bounce_lobe_id == LOBE_DIFFUSE
     lobe_spec = first_bounce_lobe_id == LOBE_SPEC_REFL
     if not cfg.use_restir_pt:
         diffuse = (
-            jnp.where(
-                lobe_diff[..., None],
-                contrib * first_bounce_invpdf[..., None] + emission,
+            vwhere(
+                lobe_diff,
+                contrib * first_bounce_invpdf + emission,
                 0.0,
             )
             + nee_d_out
         )
         specular = (
-            jnp.where(lobe_spec[..., None],
-                      contrib * first_bounce_invpdf[..., None], 0.0)
+            vwhere(lobe_spec, contrib * first_bounce_invpdf, 0.0)
             + nee_s_out
         )
     else:
         # renderer/pathtracer.py:620-626: the chosen input-sample integrand,
         # unweighted (the GRIS pass applies the reservoir weight).
-        diffuse = jnp.where(
-            chose_nee[..., None],
+        res_f = v3.load(reservoir["F"])
+        diffuse = vwhere(
+            chose_nee,
             first_nee_diffuse,
-            jnp.where(lobe_diff[..., None], reservoir["F"], 0.0),
+            vwhere(lobe_diff, res_f, 0.0),
         )
-        specular = jnp.where(
-            chose_nee[..., None],
+        specular = vwhere(
+            chose_nee,
             first_nee_specular,
-            jnp.where(lobe_spec[..., None], reservoir["F"], 0.0),
+            vwhere(lobe_spec, res_f, 0.0),
         )
 
     if camera_is_moving and not cfg.use_restir_pt:
         # De-modulate albedo so temporal filtering works on irradiance
         # (renderer/pathtracer.py:628-631; with ReSTIR on, demodulation
         # happens at the end of the GRIS pass instead).
-        diffuse = diffuse / jnp.maximum(primary_albedo, 1e-2)
+        diffuse = diffuse / v3.vmaximum(primary_albedo, 1e-2)
 
     out = dict(
         diffuse=diffuse.astype(jnp.float32),

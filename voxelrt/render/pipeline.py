@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from voxelrt.ops.tonemap import render_to_image
+from voxelrt.ops.v3 import V3
 from voxelrt.render import temporal
 from voxelrt.render.pathtracer import RenderParams, SceneData, trace_sample
 
@@ -223,7 +224,8 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
             ju = jax.vmap(
                 lambda k_: jax.random.uniform(jax.random.fold_in(k_, 417), (2,))
             )(skeys)
-            jitter_u = per_sample_rows(ju)
+            jrows = per_sample_rows(ju)
+            jitter_u = (jrows[:, 0], jrows[:, 1])
         out = trace_sample(
             cfg, scene, params, key,
             uu, vv,
@@ -243,17 +245,24 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
                 acc = acc + x[s * n:(s + 1) * n]
             return acc / k_samples
 
-        diffuse = sample_mean(out["diffuse"])
-        specular = sample_mean(out["specular"])
+        diffuse = jax.tree.map(sample_mean, out["diffuse"])
+        specular = jax.tree.map(sample_mean, out["specular"])
         # G-buffer and ReSTIR-adjacent outputs come from sample 0's slice
         # (the reference keeps the last frame's G-buffer; any one sample's
         # is equally valid — they share the camera).
-        out = {k_: v_[:n] for k_, v_ in out.items()}
+        out = jax.tree.map(lambda a: a[:n], out)
         out["diffuse"] = diffuse
         out["specular"] = specular
 
     def img(x, ch=None):
         del ch
+        if isinstance(x, V3):
+            # SoA wavefront colors/positions -> packed (W, H, 3) images
+            # (per-launch boundary; image buffers stay packed for the
+            # temporal filters).
+            return jnp.stack([img(x.x), img(x.y), img(x.z)], axis=-1)
+        if isinstance(x, tuple):  # octahedral normal component pair
+            return jnp.stack([img(c) for c in x], axis=-1)
         a = _untile(aw, ah, x)
         if not scaled:
             return a

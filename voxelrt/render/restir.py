@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from voxelrt.materials import fetch_material
 from voxelrt.ops import packing
+from voxelrt.ops.v3 import load as v3load
 from voxelrt.ops.bsdf import (
     disney_evaluate,
     disney_evaluate_lobewise,
@@ -423,7 +424,9 @@ def spatial_gris(cfg, scene, params, reservoir_img, color, color_spec, gbuffer,
         normalize(out_res["rc_pos"] - center_x1),
     )
     origin = center_x1 + center_n1 * (0.003 * center_dist)[..., None]
-    sh = next_hit(cfg, scene, params, origin, to_rc, ~sky_px, shadow_ray=True)
+    # next_hit is SoA (V3) — this GRIS pass is packed; convert at the call.
+    sh = next_hit(cfg, scene, params, v3load(origin), v3load(to_rc), ~sky_px,
+                  shadow_ray=True)
     actual = jnp.where(
         escape, jnp.float32(INF),
         jnp.sqrt(dot(center_x1 - out_res["rc_pos"],

@@ -53,6 +53,8 @@ from voxelrt.ops.sampling import (
     sample_cone_oriented,
     saturate,
 )
+from voxelrt.ops.v3 import V3, is_v3
+from voxelrt.ops import v3 as v3mod
 
 # --- constants (renderer/atmos.py:37-83) -----------------------------------
 
@@ -583,6 +585,17 @@ def project_sky(d, skybox_res):
     return uv * (1.0 - fres) + 0.5 * fres
 
 
+def project_sky_soa(d, skybox_res):
+    """project_sky on a V3 direction — returns (u, v) components."""
+    fres = 1.0 / skybox_res
+    inv = jax.lax.rsqrt(jnp.maximum(d.x * d.x + d.z * d.z, 1e-20))
+    azimuth = PI + jnp.arctan2(d.x * inv, -(d.z * inv))
+    elevation = PI * 0.5 - jnp.arccos(jnp.clip(d.y, -1.0, 1.0))
+    cx = azimuth / (2.0 * PI)
+    cy = 0.5 + 0.5 * jnp.sign(elevation) * jnp.sqrt(2.0 / PI * jnp.abs(elevation))
+    return cx * (1.0 - fres) + 0.5 * fres, cy * (1.0 - fres) + 0.5 * fres
+
+
 def unproject_sky(uv, skybox_res):
     fres = 1.0 / skybox_res
     coord = (uv - 0.5 * fres) / (1.0 - fres)
@@ -638,20 +651,36 @@ def _sample_skybox_stochastic(cfg, sky, d, u3, scattered, want_trans):
     import jax
 
     res = cfg.skybox_res
-    uv = project_sky(d, res)
-    fx = uv[..., 0] * res - 0.5
-    fy = uv[..., 1] * res - 0.5
+    soa = is_v3(d)
+    if soa:
+        su, sv = project_sky_soa(d, res)
+        fx = su * res - 0.5
+        fy = sv * res - 0.5
+        u30, u31 = u3.x, u3.y
+    else:
+        uv = project_sky(d, res)
+        fx = uv[..., 0] * res - 0.5
+        fy = uv[..., 1] * res - 0.5
+        u30, u31 = u3[..., 0], u3[..., 1]
+
+    def rgb(packed):
+        """Return the fetched rgb in the caller's layout."""
+        if soa:
+            return V3(*packed)
+        return jnp.stack(list(packed), axis=-1)
+
     finite = jnp.isfinite(fx) & jnp.isfinite(fy)
     fx = jnp.clip(jnp.where(finite, fx, 0.0), -1.0e6, 1.0e6)
     fy = jnp.clip(jnp.where(finite, fy, 0.0), -1.0e6, 1.0e6)
     ix = jnp.floor(fx)
     iy = jnp.floor(fy)
-    px = ix.astype(jnp.int32) + (u3[..., 0] < (fx - ix)).astype(jnp.int32)
-    py = iy.astype(jnp.int32) + (u3[..., 1] < (fy - iy)).astype(jnp.int32)
+    px = ix.astype(jnp.int32) + (u30 < (fx - ix)).astype(jnp.int32)
+    py = iy.astype(jnp.int32) + (u31 < (fy - iy)).astype(jnp.int32)
     tex = jnp.mod(px, res) * res + jnp.mod(py, res)
 
     if _use_texfetch(cfg, sky):
-        from voxelrt.ops.texfetch import point_fetch_words, unpack_words_rgb
+        from voxelrt.ops.texfetch import (point_fetch_words,
+                                          unpack_words_rgb_soa)
 
         if scattered and cfg.sky_route_sort:
             n = tex.shape[0]
@@ -664,30 +693,34 @@ def _sample_skybox_stochastic(cfg, sky, d, u3, scattered, want_trans):
                                        interpret=cfg.pallas_interpret)
             if not want_trans:
                 _, uw0, uw1 = jax.lax.sort([sidx, w0, w1], num_keys=1)
-                return unpack_words_rgb(uw0, uw1), None
+                return rgb(unpack_words_rgb_soa(uw0, uw1)), None
             t0, t1 = point_fetch_words(sky.packed_trans, wid,
                                        interpret=cfg.pallas_interpret)
             _, uw0, uw1, ut0, ut1 = jax.lax.sort([sidx, w0, w1, t0, t1],
                                                  num_keys=1)
-            return unpack_words_rgb(uw0, uw1), unpack_words_rgb(ut0, ut1)
+            return (rgb(unpack_words_rgb_soa(uw0, uw1)),
+                    rgb(unpack_words_rgb_soa(ut0, ut1)))
         wid = tex * 2
         w0, w1 = point_fetch_words(sky.packed_scatt, wid,
                                    interpret=cfg.pallas_interpret)
-        scatt = unpack_words_rgb(w0, w1)
+        scatt = rgb(unpack_words_rgb_soa(w0, w1))
         if not want_trans:
             return scatt, None
         t0, t1 = point_fetch_words(sky.packed_trans, wid,
                                    interpret=cfg.pallas_interpret)
-        return scatt, unpack_words_rgb(t0, t1)
+        return scatt, rgb(unpack_words_rgb_soa(t0, t1))
 
     flat_s = sky.skybox_scattering.reshape(-1, sky.skybox_scattering.shape[-1])
     scatt = jnp.take(flat_s, tex, axis=0, mode="clip")
     if not want_trans:
-        return scatt, None
+        return (v3mod.load(scatt) if soa else scatt), None
     flat_t = sky.skybox_transmittance.reshape(
         -1, sky.skybox_transmittance.shape[-1]
     )
-    return scatt, jnp.take(flat_t, tex, axis=0, mode="clip")
+    trans = jnp.take(flat_t, tex, axis=0, mode="clip")
+    if soa:
+        return v3mod.load(scatt), v3mod.load(trans)
+    return scatt, trans
 
 
 def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False, want_trans=True):
@@ -708,10 +741,28 @@ def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False, want_trans=True):
         return _sample_skybox_stochastic(cfg, sky, d, u3, scattered,
                                          want_trans)
     res = cfg.skybox_res
+    soa = is_v3(d)
+    if soa:
+        # Boundary conversion: the jittered-bilinear path is the non-default
+        # reference-exact mode; its fetches return packed rgb which we load
+        # back to components here.
+        jittered = normalize(d + u3 * 0.0015)
+        fx, fy = project_sky_soa(jittered, res)
+        fx = fx * res - 0.5
+        fy = fy * res - 0.5
+        s, t = sample_skybox_packed_fetch(cfg, sky, fx, fy, scattered,
+                                          want_trans)
+        return v3mod.load(s), (None if t is None else v3mod.load(t))
     jittered = normalize(d + (u3 - 0.0) * 0.0015)
     uv = project_sky(jittered, res)
     fx = uv[..., 0] * res - 0.5
     fy = uv[..., 1] * res - 0.5
+    return sample_skybox_packed_fetch(cfg, sky, fx, fy, scattered, want_trans)
+
+
+def sample_skybox_packed_fetch(cfg, sky, fx, fy, scattered, want_trans):
+    """The (fx, fy)-indexed bilinear fetch half of sample_skybox."""
+    res = cfg.skybox_res
     if _use_texfetch(cfg, sky):
         from voxelrt.ops.texfetch import bilinear_fetch_packed
 
@@ -762,17 +813,27 @@ def sample_skybox(cfg, sky: SkyData, d, u3, scattered=False, want_trans=True):
 
 def sample_skybox_transmittance(cfg, sky: SkyData, d):
     """renderer/atmos.py:117-131. NEE sun-cone directions are nearly
-    identical across a block, so the Pallas fetch needs no sort route."""
+    identical across a block, so the Pallas fetch needs no sort route.
+
+    Accepts a packed (N, 3) direction array or a V3 (returned in kind)."""
     res = cfg.skybox_res
-    uv = project_sky(d, res)
-    fx = uv[..., 0] * res - 0.5
-    fy = uv[..., 1] * res - 0.5
+    soa = is_v3(d)
+    if soa:
+        fx, fy = project_sky_soa(d, res)
+        fx = fx * res - 0.5
+        fy = fy * res - 0.5
+    else:
+        uv = project_sky(d, res)
+        fx = uv[..., 0] * res - 0.5
+        fy = uv[..., 1] * res - 0.5
     if _use_texfetch(cfg, sky):
         from voxelrt.ops.texfetch import bilinear_fetch_packed
 
-        return bilinear_fetch_packed(sky.packed_trans, fx, fy, res,
-                                     interpret=cfg.pallas_interpret)
-    return _bilinear_wrap(sky.skybox_transmittance, fx, fy, res)
+        out = bilinear_fetch_packed(sky.packed_trans, fx, fy, res,
+                                    interpret=cfg.pallas_interpret)
+    else:
+        out = _bilinear_wrap(sky.skybox_transmittance, fx, fy, res)
+    return v3mod.load(out) if soa else out
 
 
 # --- precompute driver -------------------------------------------------------
