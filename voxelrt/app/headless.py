@@ -98,7 +98,7 @@ class HeadlessRenderer:
 
             tables = build_pallas_tables(
                 self.scene.world.material,
-                np.asarray(jax.device_get(arrays["voxels"])),
+                arrays["voxels_np"],
                 self.cfg.grid_res,
             )
             if self.cfg.use_directional_light:

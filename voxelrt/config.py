@@ -157,6 +157,15 @@ class RenderConfig:
     # 'bilinear' restores the reference's jittered 4-corner interpolation.
     sky_fetch: str = "stochastic"  # 'stochastic' | 'bilinear'
 
+    # Per-sample uniform draws: 'pcg3d' derives each draw slot by hashing
+    # (pixel key lo, pixel key hi, slot) with PCG3D (Jarzynski & Olano,
+    # JCGT 2020) — fully fused into consumers, no (n_draws, N) table in
+    # HBM. 'table' restores the vmapped-threefry draw table (the per-pixel
+    # BASE key stays threefry fold_in(sample key, pixel id) either way, so
+    # both modes are shard-invariant counter-based RNG; the reference's
+    # ti.random() is a per-thread LCG, a weaker generator than either).
+    rng_draws: str = "pcg3d"  # 'pcg3d' | 'table'
+
     # Deferred-escape skybox fetch routing: True sorts the wavefront's
     # escape texel ids so each (8,128) fetch-kernel block touches few VMEM
     # slabs (two multi-payload 7.4M-lane lax.sorts); False dispatches the

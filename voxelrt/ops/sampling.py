@@ -251,3 +251,35 @@ def hash3(x, y, z):
 def uniforms(key, shape, n: int):
     """Draw ``n`` independent uniform layers of `shape` — (n,) + shape."""
     return jax.random.uniform(key, (n,) + tuple(shape), dtype=jnp.float32)
+
+
+def pcg3d(a, b, c):
+    """PCG3D hash (Jarzynski & Olano, "Hash Functions for GPU Rendering",
+    JCGT 2020): three u32 inputs -> three decorrelated u32 outputs.
+
+    Used for per-sample draw slots (config.rng_draws='pcg3d'): ~20 fused
+    u32 VPU ops replace a materialized (n_draws, N) threefry table whose
+    row extraction cost ~3 ms/spp of HBM relayout traffic (PERF_NOTES.md).
+    """
+    m = jnp.uint32(1664525)
+    add = jnp.uint32(1013904223)
+    a = a * m + add
+    b = b * m + add
+    c = c * m + add
+    a = a + b * c
+    b = b + c * a
+    c = c + a * b
+    a = a ^ (a >> jnp.uint32(16))
+    b = b ^ (b >> jnp.uint32(16))
+    c = c ^ (c >> jnp.uint32(16))
+    a = a + b * c
+    b = b + c * a
+    c = c + a * b
+    return a, b, c
+
+
+def u32_to_uniform(bits):
+    """Top 24 bits -> f32 uniform in [0, 1) (the f32-mantissa-exact form)."""
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24)
+    )

@@ -247,10 +247,11 @@ def bilinear_fetch_sorted(packed_words, fx, fy, res: int,
     key = jnp.where(jnp.isfinite(fx) & jnp.isfinite(fy), key,
                     jnp.int32(0x7FFFFFFF))
     idx = jnp.arange(n, dtype=jnp.int32)
-    _, sidx, sfx, sfy = jax.lax.sort([key, idx, fx, fy], num_keys=1)
+    _, sidx, sfx, sfy = jax.lax.sort([key, idx, fx, fy], num_keys=1,
+                                     is_stable=False)
     rgb = bilinear_fetch_packed(packed_words, sfx, sfy, res,
                                 interpret=interpret)
     _, r, g, b = jax.lax.sort(
-        [sidx, rgb[:, 0], rgb[:, 1], rgb[:, 2]], num_keys=1
+        [sidx, rgb[:, 0], rgb[:, 1], rgb[:, 2]], num_keys=1, is_stable=False
     )
     return jnp.stack([r, g, b], axis=-1)

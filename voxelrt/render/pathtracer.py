@@ -120,6 +120,26 @@ def mat_features(cfg) -> MatFeatures:
     return ALL_FEATURES
 
 
+class _Pcg3dDraws:
+    """Lazy per-slot uniform draws: ``draws[slot]`` hashes the per-pixel
+    key pair with PCG3D (ops/sampling.pcg3d) instead of indexing a
+    materialized (n_draws, N) threefry table. Slots group 3 to a PCG3D
+    evaluation; repeated evaluations of a triple are XLA-CSE'd, and each
+    draw fuses into its consumer (config.rng_draws)."""
+
+    def __init__(self, k0, k1):
+        self._k0 = k0
+        self._k1 = k1
+
+    def __getitem__(self, slot):
+        from voxelrt.ops.sampling import pcg3d, u32_to_uniform
+
+        t, c = divmod(int(slot), 3)
+        salt = jnp.uint32((0x9E3779B9 * (t + 1)) & 0xFFFFFFFF)
+        trip = pcg3d(self._k0, self._k1, salt)
+        return u32_to_uniform(trip[c])
+
+
 def firefly_filter(v, cfg):
     """renderer/pathtracer.py:22-24."""
     if isinstance(v, V3):
@@ -204,7 +224,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
     idx = jnp.arange(n, dtype=jnp.int32)
     skey, sidx, o0, o1, o2, d0, d1, d2 = jax.lax.sort(
         [key, idx, origin.x, origin.y, origin.z, d.x, d.y, d.z],
-        num_keys=1,
+        num_keys=1, is_stable=False,
     )
     stmax = jnp.where(skey != DEAD, jnp.float32(INF), 0.0)
     p1 = cfg.dda_phase1_advances
@@ -250,7 +270,8 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
             active=tr2.active,
         )
     if shadow_ray:
-        _, dist = jax.lax.sort([sidx, tr.distance], num_keys=1)
+        _, dist = jax.lax.sort([sidx, tr.distance], num_keys=1,
+                               is_stable=False)
         return tr._replace(distance=dist)
     # Pack hit cell + face normal into one u32 (same layout as the kernel's
     # loop state) so the unroute sort carries 4 payloads instead of 10.
@@ -263,7 +284,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
     )
     _, dist, word, col = jax.lax.sort(
         [sidx, tr.distance, word, tr.color_word.astype(jnp.int32)],
-        num_keys=1,
+        num_keys=1, is_stable=False,
     )
     return tr._replace(
         distance=dist,
@@ -551,17 +572,27 @@ def trace_sample(cfg, scene, params, key, u, v,
     # bitwise independent of how pixels are sharded across chips — the
     # dp-only multi-chip paths reproduce the single-device image exactly
     # (shaped jax.random draws would depend on the local shard shape).
-    # out_axes=1 lays the draws out (n_draws, N): each slot is a dense
-    # sublane row (the (N, n_draws) layout would put the 33 slots in 33 of
-    # 128 vreg lanes).
     pid = u.astype(jnp.int32) * jnp.int32(cfg.image_res[1]) + v.astype(jnp.int32)
     n_draws = 8 * cfg.max_ray_depth + 1
     if sample_keys is None:
         keys_px = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pid)
     else:
         keys_px = jax.vmap(jax.random.fold_in)(sample_keys, pid)
-    draws = jax.vmap(lambda k: jax.random.uniform(k, (n_draws,)),
-                     out_axes=1)(keys_px)
+    if cfg.rng_draws == "pcg3d":
+        # Derive each draw slot by hashing (key lo, key hi, slot) with
+        # PCG3D: every use fuses into its consumer's elementwise chain —
+        # no (n_draws, N) table in HBM, no row-extraction relayouts
+        # (~3 ms/spp at 720p×8spl, PERF_NOTES.md). Slots come in triples
+        # sharing one PCG3D evaluation (XLA CSE merges the repeats).
+        kd = keys_px
+        if kd.dtype != jnp.uint32:  # new-style typed PRNG keys
+            kd = jax.random.key_data(keys_px)
+        draws = _Pcg3dDraws(kd[:, 0], kd[:, 1])
+    else:
+        # out_axes=1 lays the draws out (n_draws, N): each slot is a dense
+        # sublane row.
+        draws = jax.vmap(lambda k: jax.random.uniform(k, (n_draws,)),
+                         out_axes=1)(keys_px)
 
     # ReSTIR-PT input-sample state (renderer/pathtracer.py:336-347, 381-391);
     # only materialized when the feature is compiled in. Kept PACKED — this

@@ -687,17 +687,23 @@ def _sample_skybox_stochastic(cfg, sky, d, u3, scattered, want_trans):
             BIG = jnp.int32(0x7FFFFFFF)
             key = jnp.where(finite, tex, BIG)
             idx = jnp.arange(n, dtype=jnp.int32)
-            skey, sidx = jax.lax.sort([key, idx], num_keys=1)
+            # is_stable=False: stability costs an appended iota column in
+            # the XLA TPU sort. The route key's duplicates (equal texels)
+            # fetch identical words, and the unroute key sidx is a unique
+            # permutation, so unstable order is value-identical.
+            skey, sidx = jax.lax.sort([key, idx], num_keys=1,
+                                      is_stable=False)
             wid = jnp.where(skey == BIG, 0, skey * 2)
             w0, w1 = point_fetch_words(sky.packed_scatt, wid,
                                        interpret=cfg.pallas_interpret)
             if not want_trans:
-                _, uw0, uw1 = jax.lax.sort([sidx, w0, w1], num_keys=1)
+                _, uw0, uw1 = jax.lax.sort([sidx, w0, w1], num_keys=1,
+                                           is_stable=False)
                 return rgb(unpack_words_rgb_soa(uw0, uw1)), None
             t0, t1 = point_fetch_words(sky.packed_trans, wid,
                                        interpret=cfg.pallas_interpret)
             _, uw0, uw1, ut0, ut1 = jax.lax.sort([sidx, w0, w1, t0, t1],
-                                                 num_keys=1)
+                                                 num_keys=1, is_stable=False)
             return (rgb(unpack_words_rgb_soa(uw0, uw1)),
                     rgb(unpack_words_rgb_soa(ut0, ut1)))
         wid = tex * 2
@@ -782,19 +788,21 @@ def sample_skybox_packed_fetch(cfg, sky, fx, fy, scattered, want_trans):
                 jnp.int32(0x7FFFFFFF),
             )
             idx = jnp.arange(n, dtype=jnp.int32)
-            _, sidx, sfx, sfy = jax.lax.sort([key, idx, fx, fy], num_keys=1)
+            _, sidx, sfx, sfy = jax.lax.sort([key, idx, fx, fy], num_keys=1,
+                                             is_stable=False)
             s = bilinear_fetch_packed(sky.packed_scatt, sfx, sfy, res,
                                       interpret=cfg.pallas_interpret)
             if not want_trans:
                 _, s0, s1, s2 = jax.lax.sort(
-                    [sidx, s[:, 0], s[:, 1], s[:, 2]], num_keys=1
+                    [sidx, s[:, 0], s[:, 1], s[:, 2]], num_keys=1,
+                    is_stable=False
                 )
                 return jnp.stack([s0, s1, s2], -1), None
             t = bilinear_fetch_packed(sky.packed_trans, sfx, sfy, res,
                                       interpret=cfg.pallas_interpret)
             _, s0, s1, s2, t0, t1, t2 = jax.lax.sort(
                 [sidx, s[:, 0], s[:, 1], s[:, 2], t[:, 0], t[:, 1], t[:, 2]],
-                num_keys=1,
+                num_keys=1, is_stable=False,
             )
             return (jnp.stack([s0, s1, s2], -1), jnp.stack([t0, t1, t2], -1))
         scatt = bilinear_fetch_packed(sky.packed_scatt, fx, fy, res,
@@ -872,7 +880,7 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
     deterministic, disk-cached precompute. ``cloud_tex``: optional
     (256, 256, 3) [0, 1] cloud texture (Scene.set_cloud_texture) replacing
     the procedural density field; hashed into the cache key."""
-    def _packed(sky: SkyData) -> SkyData:
+    def _packed(sky: SkyData, scatt_np=None, trans_np=None) -> SkyData:
         # The Pallas fetch kernel keeps one packed map resident in VMEM:
         # res² × 2 u32 words. Past ~1280² that exceeds the 16 MB scoped
         # VMEM budget (measured OOM at 2048²), so larger skyboxes fall back
@@ -881,13 +889,16 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
             return sky
         from voxelrt.ops.texfetch import pack_rgb_bf16
 
+        # Pack from the HOST copies when the caller has them: np.asarray of
+        # a freshly-uploaded device array is a device_get round trip, and
+        # on the tunneled chip that costs ~a minute per 12.6 MB map.
+        if scatt_np is None:
+            scatt_np = np.asarray(sky.skybox_scattering)
+        if trans_np is None:
+            trans_np = np.asarray(sky.skybox_transmittance)
         return sky._replace(
-            packed_scatt=jnp.asarray(
-                pack_rgb_bf16(np.asarray(sky.skybox_scattering))
-            ),
-            packed_trans=jnp.asarray(
-                pack_rgb_bf16(np.asarray(sky.skybox_transmittance))
-            ),
+            packed_scatt=jnp.asarray(pack_rgb_bf16(scatt_np)),
+            packed_trans=jnp.asarray(pack_rgb_bf16(trans_np)),
         )
 
     key_str = _cache_key(cfg, sun_dir, sun_col, cos_max, cloud_tex)
@@ -904,12 +915,14 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
     for path in (cache_path, shipped):
         if os.path.exists(path):
             z = np.load(path)
+            scatt_np = z["scatt"].astype(np.float32)
+            trans_np = z["trans"].astype(np.float32)
             return _packed(SkyData(
-                jnp.asarray(z["scatt"].astype(np.float32)),
-                jnp.asarray(z["trans"].astype(np.float32)),
+                jnp.asarray(scatt_np),
+                jnp.asarray(trans_np),
                 jnp.asarray(z["ambient"].astype(np.float32)),
                 jnp.asarray(z["lut"].astype(np.float32)),
-            ))
+            ), scatt_np, trans_np)
 
     res = cfg.skybox_res
     key = jax.random.PRNGKey(seed)
@@ -1012,4 +1025,4 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
         ambient=np.asarray(jax.device_get(cloud_ambient)),
         lut=np.asarray(jax.device_get(lut)),
     )
-    return _packed(sky)
+    return _packed(sky, scatt.reshape(res, res, 3), trans.reshape(res, res, 3))

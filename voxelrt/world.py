@@ -159,4 +159,7 @@ class VoxelWorld:
         return {
             "occ_words": jnp.asarray(occ),
             "voxels": jnp.asarray(packed_zyx),
+            # Host copy for the Pallas table builder: a device_get of the
+            # 8 MB grid costs ~a minute through the tunneled chip.
+            "voxels_np": packed_zyx,
         }
