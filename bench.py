@@ -75,9 +75,10 @@ def main():
     scene = build_scene(args.scene, (w, h))
     import ast
 
-    # Benchmark default: batch 8 samples per temporal frame (headless
+    # Benchmark default: batch 16 samples per temporal frame (headless
     # progressive rendering; interactive sessions keep 1 for latency).
-    over = {"samples_per_launch": 8}
+    # Post-SoA sweep: 43.6/38.6/37.95/38.9 ms/spp at spl 4/8/16/32.
+    over = {"samples_per_launch": 16}
     for kv in args.cfg:
         k, v = kv.split("=", 1)
         try:

@@ -11,6 +11,10 @@ rng = np.random.default_rng(1)
 
 
 def initialize_voxels():
+    # Re-seed on every (re)build: repeat builds in one process must
+    # generate the SAME scene (bench/test harnesses rebuild modules).
+    global rng
+    rng = np.random.default_rng(1)
     n = 50
     ij = grid2(0, n, 0, n)
     border = (np.minimum(ij[:, 0], ij[:, 1]) == 0) | (

@@ -88,6 +88,10 @@ def create_pillar(pos, is_corner):
 
 
 def initialize_voxels():
+    # Re-seed on every (re)build: repeat builds in one process must
+    # generate the SAME scene (bench/test harnesses rebuild modules).
+    global rng
+    rng = np.random.default_rng(10)
     s = scale
     create_brick(np.array([-1, 1, -1]) * s + offset, np.array([11, 9, 27]) * s)
     create_air(np.array([0, 2, 0]) * s + offset, np.array([9, 4, 25]) * s)

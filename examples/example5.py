@@ -54,6 +54,10 @@ def make_cloud_city(base, n):
 
 
 def initialize_voxels():
+    # Re-seed on every (re)build: repeat builds in one process must
+    # generate the SAME scene (bench/test harnesses rebuild modules).
+    global rng
+    rng = np.random.default_rng(5)
     n = 60
     base = -24
     make_cloud_city(base, n)

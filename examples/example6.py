@@ -61,6 +61,10 @@ def make_fence(start, direction, length):
 
 
 def initialize_voxels():
+    # Re-seed on every (re)build: repeat builds in one process must
+    # generate the SAME scene (bench/test harnesses rebuild modules).
+    global rng
+    rng = np.random.default_rng(6)
     for i in range(4):
         create_block(
             (-60, -((i + 1) ** 2) - 40, -60),

@@ -31,6 +31,10 @@ def is_road(i, j):
 
 
 def initialize():
+    # Re-seed on every (re)build: repeat builds in one process must
+    # generate the SAME scene (bench/test harnesses rebuild modules).
+    global rng
+    rng = np.random.default_rng(manual_seed)
     """Road layout seeding (example7.py:18-30)."""
     for i in range(8):
         for j in range(8):

@@ -65,6 +65,10 @@ def create_moon(pos, radius, color):
 
 
 def initialize_voxels():
+    # Re-seed on every (re)build: repeat builds in one process must
+    # generate the SAME scene (bench/test harnesses rebuild modules).
+    global rng
+    rng = np.random.default_rng(8)
     create_ocean_base((-60, -40, -60), (120, 20, 120), np.array([0.2, 0.4, 1.0]))
     create_wave((-20, 0, -20), 40, (0.2, 0.4, 1.0), 1, True)
     create_wave((29, -5, 29), 30, (0.2, 0.4, 1.0), 0.5, False)

@@ -75,6 +75,10 @@ def stuff(p0, s, r):
 
 
 def initialize():
+    # Re-seed on every (re)build: repeat builds in one process must
+    # generate the SAME scene (bench/test harnesses rebuild modules).
+    global rng
+    rng = np.random.default_rng(9)
     wood = np.array([0.6, 0.5, 0.3])
     fill((-64, -20, -60), (128, 74, 120), 1, np.full(3, 0.6))  # Wall
     fill((-64, -19, -60), (128, 1, 120), 1, (0.2, 0.1, 0.0))

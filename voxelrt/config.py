@@ -157,6 +157,14 @@ class RenderConfig:
     # 'bilinear' restores the reference's jittered 4-corner interpolation.
     sky_fetch: str = "stochastic"  # 'stochastic' | 'bilinear'
 
+    # Stochastic-fetch texel format: True fetches a one-word rgb9e5 table
+    # (half the gather rounds, one unroute payload, and MORE accurate than
+    # bf16 on the real sky — texfetch.pack_rgb9e5). Measured SLOWER on v5e
+    # despite all that (37.9 -> 41.7 ms/spp, PERF_NOTES.md: the
+    # shared-exponent decode fuses worse than the bf16 bitcast unpack), so
+    # the two-word bf16 pair stays the default.
+    sky_rgb9e5: bool = False
+
     # Per-sample uniform draws: 'pcg3d' derives each draw slot by hashing
     # (pixel key lo, pixel key hi, slot) with PCG3D (Jarzynski & Olano,
     # JCGT 2020) — fully fused into consumers, no (n_draws, N) table in

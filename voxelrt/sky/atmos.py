@@ -105,6 +105,9 @@ class SkyData(NamedTuple):
     # None on the portable path.
     packed_scatt: jax.Array | None = None
     packed_trans: jax.Array | None = None
+    # rgb9e5 one-word-per-texel scattering copy (ops/texfetch.pack_rgb9e5):
+    # the stochastic fetch gathers half the words and unroutes ONE payload.
+    packed_scatt9: jax.Array | None = None
 
 
 # --- geometry helpers -------------------------------------------------------
@@ -679,8 +682,24 @@ def _sample_skybox_stochastic(cfg, sky, d, u3, scattered, want_trans):
     tex = jnp.mod(px, res) * res + jnp.mod(py, res)
 
     if _use_texfetch(cfg, sky):
-        from voxelrt.ops.texfetch import (point_fetch_words,
+        from voxelrt.ops.texfetch import (point_fetch_word,
+                                          point_fetch_words,
+                                          unpack_rgb9e5_soa,
                                           unpack_words_rgb_soa)
+
+        one_word = sky.packed_scatt9 is not None and cfg.sky_rgb9e5
+
+        def fetch_scatt(wid):
+            """Scattering texel fetch: one rgb9e5 word when the one-word
+            table exists, else the bf16 word pair. Returns (words..,
+            decode)."""
+            if one_word:
+                w = point_fetch_word(sky.packed_scatt9, wid,
+                                     interpret=cfg.pallas_interpret)
+                return (w,), unpack_rgb9e5_soa
+            w0, w1 = point_fetch_words(sky.packed_scatt, wid * 2,
+                                       interpret=cfg.pallas_interpret)
+            return (w0, w1), unpack_words_rgb_soa
 
         if scattered and cfg.sky_route_sort:
             n = tex.shape[0]
@@ -693,26 +712,23 @@ def _sample_skybox_stochastic(cfg, sky, d, u3, scattered, want_trans):
             # permutation, so unstable order is value-identical.
             skey, sidx = jax.lax.sort([key, idx], num_keys=1,
                                       is_stable=False)
-            wid = jnp.where(skey == BIG, 0, skey * 2)
-            w0, w1 = point_fetch_words(sky.packed_scatt, wid,
-                                       interpret=cfg.pallas_interpret)
+            swid = jnp.where(skey == BIG, 0, skey)
+            sw, decode = fetch_scatt(swid)
             if not want_trans:
-                _, uw0, uw1 = jax.lax.sort([sidx, w0, w1], num_keys=1,
-                                           is_stable=False)
-                return rgb(unpack_words_rgb_soa(uw0, uw1)), None
-            t0, t1 = point_fetch_words(sky.packed_trans, wid,
+                unrouted = jax.lax.sort([sidx, *sw], num_keys=1,
+                                        is_stable=False)
+                return rgb(decode(*unrouted[1:])), None
+            t0, t1 = point_fetch_words(sky.packed_trans, swid * 2,
                                        interpret=cfg.pallas_interpret)
-            _, uw0, uw1, ut0, ut1 = jax.lax.sort([sidx, w0, w1, t0, t1],
-                                                 num_keys=1, is_stable=False)
-            return (rgb(unpack_words_rgb_soa(uw0, uw1)),
-                    rgb(unpack_words_rgb_soa(ut0, ut1)))
-        wid = tex * 2
-        w0, w1 = point_fetch_words(sky.packed_scatt, wid,
-                                   interpret=cfg.pallas_interpret)
-        scatt = rgb(unpack_words_rgb_soa(w0, w1))
+            unrouted = jax.lax.sort([sidx, *sw, t0, t1], num_keys=1,
+                                    is_stable=False)
+            return (rgb(decode(*unrouted[1:-2])),
+                    rgb(unpack_words_rgb_soa(*unrouted[-2:])))
+        sw, decode = fetch_scatt(tex)
+        scatt = rgb(decode(*sw))
         if not want_trans:
             return scatt, None
-        t0, t1 = point_fetch_words(sky.packed_trans, wid,
+        t0, t1 = point_fetch_words(sky.packed_trans, tex * 2,
                                    interpret=cfg.pallas_interpret)
         return scatt, rgb(unpack_words_rgb_soa(t0, t1))
 
@@ -896,9 +912,15 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
             scatt_np = np.asarray(sky.skybox_scattering)
         if trans_np is None:
             trans_np = np.asarray(sky.skybox_transmittance)
+        scatt9 = None
+        if cfg.sky_rgb9e5:
+            from voxelrt.ops.texfetch import pack_rgb9e5
+
+            scatt9 = jnp.asarray(pack_rgb9e5(scatt_np))
         return sky._replace(
             packed_scatt=jnp.asarray(pack_rgb_bf16(scatt_np)),
             packed_trans=jnp.asarray(pack_rgb_bf16(trans_np)),
+            packed_scatt9=scatt9,
         )
 
     key_str = _cache_key(cfg, sun_dir, sun_col, cos_max, cloud_tex)
