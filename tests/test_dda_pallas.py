@@ -244,6 +244,86 @@ def test_in_kernel_nee_matches_two_dispatch():
     np.testing.assert_array_equal(vis_got[mask], vis_ref[mask])
 
 
+def test_queued_alive_skip_matches_plain():
+    """alive= (per-slot dead-entry skip): queued traces must equal the
+    plain kernel on every ALIVE lane and return the canonical miss
+    (inf/-1/0) on skipped lanes — in closest-hit, any-hit and in-kernel-NEE
+    modes. This is the wavefront contract render/pathtracer.py relies on
+    (dead paths at later bounce depths drain for free)."""
+    import math
+
+    from voxelrt.ops.accel import add_sun_open_table
+    from voxelrt.ops.sampling import make_orthonormal_basis
+
+    res = 32
+    world, tables, pyr, arrays = make_setup(res, 0.10, 11)
+    L = np.array([1.0, 1.0, -1.0])
+    L /= np.linalg.norm(L)
+    cone_cos = math.cos(0.025 * 0.5)
+    tables = add_sun_open_table(tables, world.material, L, cone_cos)
+    rng = np.random.default_rng(5)
+    n = 4096
+    o = rng.uniform(0, res, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    alive = rng.random(n) < 0.4  # most lanes dead, scattered
+    tmax = np.where(alive, np.inf, 0.0).astype(np.float32)
+
+    ref = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                          jnp.asarray(tmax), res, interpret=True)
+    got = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                          jnp.asarray(tmax), res, interpret=True,
+                          queue_depth=4, refill_every=2, march_unroll=2,
+                          fetch_cadence=1, alive=jnp.asarray(alive))
+    for f in ("distance", "ipos", "normal", "color_word", "iters"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, f))[alive],
+            np.asarray(getattr(got, f))[alive], err_msg=f"alive {f}")
+    dead = ~alive
+    assert np.all(np.isinf(np.asarray(got.distance)[dead]))
+    assert np.all(np.asarray(got.ipos)[dead] == -1)
+    assert np.all(np.asarray(got.normal)[dead] == 0)
+    assert np.all(np.asarray(got.iters)[dead] == 0)
+    assert np.all(np.asarray(got.color_word)[dead] == 0)
+    assert np.all(np.asarray(got.active)[dead] == 0)
+
+    # any-hit (shadow) mode
+    sa = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                         jnp.asarray(tmax), res, interpret=True,
+                         any_hit=True, fetch_colors=False)
+    sb = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                         jnp.asarray(tmax), res, interpret=True,
+                         any_hit=True, fetch_colors=False, queue_depth=4,
+                         refill_every=2, march_unroll=2, fetch_cadence=1,
+                         alive=jnp.asarray(alive))
+    np.testing.assert_array_equal(np.asarray(sa.distance)[alive],
+                                  np.asarray(sb.distance)[alive])
+    assert np.all(np.isinf(np.asarray(sb.distance)[~alive]))
+
+    # in-kernel NEE: alive lanes' primary outputs + visibility must match
+    # the no-mask nee trace; dead lanes report nee done + invisible.
+    u = rng.random((n, 2)).astype(np.float32)
+    alt = np.full(n, np.inf, np.float32)
+    Lj = jnp.asarray(L, jnp.float32)
+    X, Y = make_orthonormal_basis(Lj)
+    nee = dict(u=jnp.asarray(u), alt_t=jnp.asarray(alt), light_dir=Lj,
+               tangent=X, bitangent=Y, cone_cos=cone_cos,
+               eps_grid=1e-4 * 16.0, shadow_tmin=1e-4)
+    na = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                         jnp.asarray(tmax), res, interpret=True,
+                         queue_depth=4, refill_every=2, march_unroll=2,
+                         fetch_cadence=1, nee=nee)
+    nb = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                         jnp.asarray(tmax), res, interpret=True,
+                         queue_depth=4, refill_every=2, march_unroll=2,
+                         fetch_cadence=1, nee=nee, alive=jnp.asarray(alive))
+    for f in ("distance", "ipos", "normal", "color_word", "nee_visible"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(na, f))[alive],
+            np.asarray(getattr(nb, f))[alive], err_msg=f"nee alive {f}")
+    assert np.all(np.asarray(nb.nee_visible)[dead] == 0)
+
+
 def test_two_phase_resume_equals_single_phase():
     """Two-phase traversal (phase-1 advance budget + resume_state) must
     reproduce the single-phase trace exactly, with the resumed phase getting

@@ -29,6 +29,8 @@ def main():
                     help="samples_per_launch (bench.py uses 8)")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/voxelrt_profile")
+    ap.add_argument("--cfg", nargs="*", default=[],
+                    help="RenderConfig overrides, key=value (ast literals)")
     args = ap.parse_args()
 
     import jax
@@ -40,8 +42,17 @@ def main():
 
     w, h = (int(x) for x in args.res.split("x"))
     scene = build_scene(args.scene, (w, h))
+    import ast
+
+    over = {"samples_per_launch": args.spl}
+    for kv in args.cfg:
+        k, v = kv.split("=", 1)
+        try:
+            over[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            over[k] = v
     scene.config = scene.config.__class__(
-        **{**scene.config.__dict__, "samples_per_launch": args.spl}
+        **{**scene.config.__dict__, **over}
     )
     r = scene.renderer
     r.prepare_data()

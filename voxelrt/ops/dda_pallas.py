@@ -237,6 +237,14 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         # frame, so the cone sample is pure per-lane ALU).
         u1_ref, u2_ref, alt_ref, nee_ref = refs[8:12]
         base_rays = 12
+    if queued:
+        # Per-slot ALIVE bitmask (bit k = queue entry k is a live input
+        # ray): refill rounds jump straight to the next set bit, so dead
+        # entries (terminated paths at later bounce depths, padding) cost
+        # ZERO march iterations instead of refill_every each. Outputs for
+        # skipped entries are pre-initialized to the canonical miss below.
+        amask_ref = refs[base_rays]
+        base_rays += 1
     if resume:
         # Resume inputs: phase-1 exit state (t doubles as the new tmin via
         # tmin_ref; normals carry the last advance's face; act flags rays
@@ -372,8 +380,29 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                 out = jnp.where(cursor == k, ref[0, k], out)
             return out
 
+        def next_alive(cur):
+            """Index of the lowest alive queue entry ABOVE ``cur`` (the
+            per-slot amask bit scan); 32 when none remain. cur ∈ [-1, 32]."""
+            am = amask_ref[0]
+            sh = cur + 1
+            msk = jnp.where(sh >= 32, 0,
+                            jnp.int32(-1) << jnp.minimum(sh, 31))
+            a = am & msk
+            return _popcount32((a & (0 - a)) - 1)
+
+        # Pre-initialize the packed outputs to the canonical miss (t = inf,
+        # ipos = -1, inactive/no-hit/nee-invisible): entries the alive scan
+        # skips are never written by a refill round. Also covers rays the
+        # iteration cap would abandon (previously undefined output).
+        DEADW = jnp.int32(0x15000000)  # pack_word(-1,-1,-1, 0,0,0)
+        rshape = ox_ref.shape[2:]
+        for k in range(C):
+            t_ref[0, k] = jnp.full(rshape, BIG, jnp.float32)
+            word_ref[0, k] = jnp.full(rshape, DEADW, jnp.int32)
+            af_ref[0, k] = jnp.zeros(rshape, jnp.int32)
+
         zf = jnp.zeros(ox_ref.shape[2:], jnp.float32)
-        cursor0 = jnp.zeros(ox_ref.shape[2:], jnp.int32)
+        cursor0 = next_alive(jnp.full(ox_ref.shape[2:], -1, jnp.int32))
         f = load_chunk(cursor0, [zf] * 8)
         ox0, oy0, oz0, dx0, dy0, dz0, tmin0, tmax0 = f
     else:
@@ -384,6 +413,9 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
 
     rs_n = (nxi_ref[0], nyi_ref[0], nzi_ref[0]) if resume else None
     rs_act = acti_ref[0] if resume else None
+    if queued:
+        # Slots with no alive queue entry at all start drained.
+        rs_act = (cursor0 < C).astype(jnp.int32)
     t_i, word_i, af_i, far0, inv_x0, inv_y0, inv_z0 = init_rays(
         ox0, oy0, oz0, dx0, dy0, dz0, tmin0, tmax0, rs_n=rs_n, rs_act=rs_act)
     alive0 = (af_i >> 16) != 0
@@ -401,7 +433,8 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         state.update(
             ox=ox0, oy=oy0, oz=oz0, dx=dx0, dy=dy0, dz=dz0,
             ivx=inv_x0, ivy=inv_y0, ivz=inv_z0, far=far0,
-            cursor=cursor0, n_undone=jnp.int32(1),
+            cursor=cursor0,
+            n_undone=jnp.max((cursor0 < C).astype(jnp.int32)),
         )
 
     # Each iteration is an advance, a cell resolve, or a (deferral) stall;
@@ -881,7 +914,8 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                     advance = (prim_ret & ~conv) | shad_ret
                 else:
                     advance = prim_ret
-                ncur = jnp.where(advance, s["cursor"] + 1, s["cursor"])
+                ncur = jnp.where(advance, next_alive(s["cursor"]),
+                                 s["cursor"])
                 loadable = advance & (ncur < C)
                 cur_fields = (ox, oy, oz, dx, dy, dz,
                               jnp.zeros_like(ox), jnp.zeros_like(ox))
@@ -1032,7 +1066,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     resolve_steps: int = CELL_RESOLVE_STEPS,
                     queue_depth: int = 1, refill_every: int = 4,
                     march_unroll: int = 1,
-                    nee=None,
+                    nee=None, alive=None,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
@@ -1074,6 +1108,16 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     instead of C × worst-ray length. Measured motivation (example6 bounce
     wavefront): mean 10.7 advances/ray vs 82.6 block max — ~8× lock-step
     pacing waste. Incompatible with resume_state/debug_totals.
+
+    ``alive``: optional (N,) bool/int — rays the caller wants traced (its
+    wavefront mask). Queued dispatches pack it into a per-slot bitmask and
+    the refill scan JUMPS over dead entries, so terminated paths at later
+    bounce depths cost zero march iterations (previously refill_every
+    each; a fully dead block exits without iterating). Skipped lanes
+    return the canonical miss: distance=inf, ipos=-1, normal=0, iters=0,
+    color=0, active=0, nee_visible=0 — callers must (and do) mask by
+    their own wavefront liveness, which `tmax = where(mask, inf, 0)`
+    already implies. Ignored on non-queued dispatches.
     """
     soa = isinstance(origin, V3)
     n = origin.shape[0]
@@ -1089,6 +1133,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     queued = queue_depth > 1 or nee_mode
     if queued:
         assert resume_state is None and not debug_totals
+        # the per-slot alive bitmask packs one bit per queue entry
+        assert queue_depth <= 32, queue_depth
     block_rays = block_rows * LANES * (queue_depth if queued else 1)
     pad = (-n) % block_rays
     npad = n + pad
@@ -1149,6 +1195,24 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             jnp.asarray([nee["eps_grid"]], jnp.float32).reshape(1),
             jnp.asarray([nee["shadow_tmin"]], jnp.float32).reshape(1),
         ])
+    if queued:
+        # Per-slot alive bitmask (bit k = queue entry k is live). Padding
+        # lanes are dead by construction; with no caller mask every real
+        # ray is marked alive (bit-identical to the pre-mask kernel).
+        if alive is None:
+            al = jnp.ones((n,), jnp.int32)
+        else:
+            al = alive.astype(jnp.int32)
+        alb = prep(al).reshape(nb, queue_depth, block_rows, LANES)
+        shifts = jnp.arange(queue_depth, dtype=jnp.int32).reshape(
+            1, queue_depth, 1, 1)
+        amask_ins = [jnp.sum(alb << shifts, axis=1).astype(jnp.int32)]
+        amask_specs = [pl.BlockSpec((1, block_rows, LANES),
+                                    lambda b: (b, 0, 0),
+                                    memory_space=pltpu.VMEM)]
+    else:
+        amask_ins = []
+        amask_specs = []
     if resume:
         rn0, rn1, rn2 = ((rs_n.x, rs_n.y, rs_n.z) if isinstance(rs_n, V3)
                          else (rs_n[:, 0], rs_n[:, 1], rs_n[:, 2]))
@@ -1233,6 +1297,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         grid=(nb,),
         in_specs=[ray_spec] * n_ray_ins
         + ([smem_spec] if nee_mode else [])
+        + amask_specs
         + ([ray_spec] * 4 if resume else []) + [
             table_spec(lod2.shape[0]), table_spec(solid.shape[0]),
             table_spec(dist3.shape[0]), table_spec(dist4.shape[0]),
@@ -1248,8 +1313,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(*ins, *nee_ins, lod2, solid, dist3, dist4, rankb, occm, occb, mlo,
-      mhi, colors, pal, sun)
+    )(*ins, *nee_ins, *amask_ins, lod2, solid, dist3, dist4, rankb, occm,
+      occb, mlo, mhi, colors, pal, sun)
 
     def pack3(x, y, z):
         """Vector outputs follow the input layout: V3 in -> V3 out."""

@@ -384,6 +384,11 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
                 nee=nee,
+                # Queued dispatches skip dead wavefront lanes entirely
+                # (terminated paths at later depths drain for free); their
+                # outputs are the canonical miss, which every consumer
+                # below already masks by ``mask``/vox_ok.
+                alive=mask,
             )
         color_word = tr.color_word
     else:
