@@ -323,6 +323,21 @@ def test_queued_alive_skip_matches_plain():
             np.asarray(getattr(nb, f))[alive], err_msg=f"nee alive {f}")
     assert np.all(np.asarray(nb.nee_visible)[dead] == 0)
 
+    # sun_mode is a pure scheduling knob: 'half' (early-out only on the
+    # unrolled segments) and 'off' must give identical per-ray results.
+    for sm in ("half", "off"):
+        nc = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                             jnp.asarray(tmax), res, interpret=True,
+                             queue_depth=4, refill_every=2, march_unroll=2,
+                             fetch_cadence=1, nee=nee, sun_mode=sm,
+                             alive=jnp.asarray(alive))
+        for f in ("distance", "ipos", "normal", "color_word",
+                  "nee_visible"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(nb, f))[alive],
+                np.asarray(getattr(nc, f))[alive],
+                err_msg=f"sun_mode={sm} {f}")
+
 
 def test_two_phase_resume_equals_single_phase():
     """Two-phase traversal (phase-1 advance budget + resume_state) must

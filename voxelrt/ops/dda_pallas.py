@@ -222,7 +222,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      use_xslab=True, fetch_cadence=2,
                      resolve_steps=CELL_RESOLVE_STEPS,
                      queue_depth=1, refill_every=4, nee_mode=False,
-                     march_unroll=1,
+                     march_unroll=1, sun_mode="all",
                      slow_after=48, debug_totals=False, resume=False):
     C = queue_depth
     queued = C > 1 or nee_mode
@@ -501,12 +501,16 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                   >> ((cell & 15) * 2)) & 3
             occ2 = v4 == 0
             w2 = None
-        elif use_sun_open or nee_mode:
+        elif use_sun_open or (nee_mode and sun_mode == "all"):
             # Sun-shadow mode: a ray standing in a SUN-OPEN cell provably
             # escapes (ops.accel.build_sun_open_bits certifies the whole NEE
             # cone from anywhere in the cell) — retire it as a miss now.
             # Sharing the LOD2 scan makes the check nearly free. In nee_mode
             # only the shadow-phase lanes may take the early-out.
+            # ``sun_mode``: 'all' checks every advance, 'half' only the
+            # unrolled segments (halving the dual-gather cost; retirement
+            # delayed ≤1 advance, outputs identical), 'off' disables the
+            # early-out (pure A/B knob — shadow rays march to escape).
             w2, wsun = _gather_words2(lod2_ref, sun_ref, cw, n_lod2_words)
             sun_esc = ((wsun >> cb) & 1) != 0
             if nee_mode:
@@ -766,7 +770,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             cell_u = ((o_pz >> 2) * r2 + (o_py >> 2)) * r2 + (o_px >> 2)
             cw_u = cell_u >> 5
             cb_u = cell_u & 31
-            if use_sun_open or nee_mode:
+            if use_sun_open or (nee_mode and sun_mode != "off"):
                 w2_u, wsun_u = _gather_words2(lod2_ref, sun_ref, cw_u,
                                               n_lod2_words)
                 sun_esc_u = ((wsun_u >> cb_u) & 1) != 0
@@ -980,13 +984,22 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             for k in range(C):
                 wk = word_ref[0, k]
                 afk = af_ref[0, k]
-                pxk = (wk & 255) - 1
-                pyk = ((wk >> 8) & 255) - 1
-                pzk = ((wk >> 16) & 255) - 1
-                col_ref[0, k] = _fetch_hit_colors(
-                    pxk, pyk, pzk, (afk >> 17) & 1,
-                    occm_ref, occb_ref, colors_ref, pal_ref,
-                    n_lod2_words, use_palette)[0]
+                hitk = (afk >> 17) & 1
+                col_ref[0, k] = jnp.zeros(wk.shape, jnp.int32)
+
+                # Chunks with no hit anywhere in the block skip the fetch's
+                # fixed cost (morton/rank gathers) entirely — common at
+                # later bounce depths, where the alive scan leaves high
+                # queue chunks empty.
+                @pl.when(jnp.max(hitk) > 0)
+                def _fetch_chunk(k=k, wk=wk, hitk=hitk):
+                    pxk = (wk & 255) - 1
+                    pyk = ((wk >> 8) & 255) - 1
+                    pzk = ((wk >> 16) & 255) - 1
+                    col_ref[0, k] = _fetch_hit_colors(
+                        pxk, pyk, pzk, hitk,
+                        occm_ref, occb_ref, colors_ref, pal_ref,
+                        n_lod2_words, use_palette)[0]
         else:
             col_ref[0] = jnp.zeros(col_ref.shape[1:], jnp.int32)
         return
@@ -1053,7 +1066,7 @@ class PallasTraceResult(NamedTuple):
                      "interpret", "fetch_cadence", "debug_totals",
                      "block_rows", "use_sun_open", "use_xslab", "use_dist4",
                      "resolve_steps", "queue_depth", "refill_every",
-                     "march_unroll"),
+                     "march_unroll", "sun_mode"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -1065,7 +1078,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     use_dist4: bool | None = None,
                     resolve_steps: int = CELL_RESOLVE_STEPS,
                     queue_depth: int = 1, refill_every: int = 4,
-                    march_unroll: int = 1,
+                    march_unroll: int = 1, sun_mode: str = "all",
                     nee=None, alive=None,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
@@ -1287,7 +1300,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         use_xslab=use_xslab, fetch_cadence=fetch_cadence,
         resolve_steps=resolve_steps,
         queue_depth=queue_depth, refill_every=refill_every,
-        nee_mode=nee_mode, march_unroll=march_unroll,
+        nee_mode=nee_mode, march_unroll=march_unroll, sun_mode=sun_mode,
         debug_totals=debug_totals, resume=resume,
     )
 
