@@ -244,6 +244,53 @@ def test_in_kernel_nee_matches_two_dispatch():
     np.testing.assert_array_equal(vis_got[mask], vis_ref[mask])
 
 
+def test_march_group_matches_exact():
+    """march_group > 1 (grouped march occupancy: one bit ORs G cells along
+    x) must agree with the exact-march kernel on every hit verdict, hit
+    cell, normal and color; distances may differ only by the advance float
+    order (observed exact here). Also exercised through the queued+alive
+    path the renderer uses."""
+    res = 32
+    world, tables, pyr, arrays = make_setup(res, 0.10, 11)
+    rng = np.random.default_rng(7)
+    n = 4096
+    o = rng.uniform(-res * 0.5, res * 1.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    base = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                           np.inf, res, interpret=True)
+    bd = np.asarray(base.distance)
+    for g in (2, 4):
+        r = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                            np.inf, res, interpret=True, march_group=g)
+        rd = np.asarray(r.distance)
+        np.testing.assert_array_equal(np.isfinite(bd), np.isfinite(rd),
+                                      err_msg=f"G={g} hit verdicts")
+        h = np.isfinite(bd)
+        assert h.sum() > 500
+        np.testing.assert_array_equal(np.asarray(base.ipos)[h],
+                                      np.asarray(r.ipos)[h])
+        np.testing.assert_array_equal(np.asarray(base.normal)[h],
+                                      np.asarray(r.normal)[h])
+        np.testing.assert_array_equal(np.asarray(base.color_word)[h],
+                                      np.asarray(r.color_word)[h])
+        np.testing.assert_allclose(rd[h], bd[h], rtol=1e-5)
+
+        alive = rng.random(n) < 0.5
+        tm = jnp.asarray(np.where(alive, np.inf, 0.0).astype(np.float32))
+        q = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                            tm, res, interpret=True, march_group=g,
+                            queue_depth=4, refill_every=2, march_unroll=2,
+                            fetch_cadence=1, alive=jnp.asarray(alive))
+        qd = np.asarray(q.distance)
+        np.testing.assert_array_equal(np.isfinite(rd)[alive],
+                                      np.isfinite(qd)[alive],
+                                      err_msg=f"G={g} queued hit verdicts")
+        hh = alive & np.isfinite(rd)
+        np.testing.assert_array_equal(np.asarray(r.ipos)[hh],
+                                      np.asarray(q.ipos)[hh])
+
+
 def test_queued_alive_skip_matches_plain():
     """alive= (per-slot dead-entry skip): queued traces must equal the
     plain kernel on every ALIVE lane and return the canonical miss

@@ -73,6 +73,35 @@ def _gather_1024(table_slab, word_idx, slab_rows=8):
     return out
 
 
+def _compress_even_bits(x):
+    """Keep the even-indexed bits of each u32, compressed into bits 0-15
+    (SWAR pext of 0x55555555)."""
+    x = x & 0x55555555
+    x = (x | (x >> 1)) & 0x33333333
+    x = (x | (x >> 2)) & 0x0F0F0F0F
+    x = (x | (x >> 4)) & 0x00FF00FF
+    x = (x | (x >> 8)) & 0x0000FFFF
+    return x
+
+
+def _group_bits(words, g: int, mode: str):
+    """Reduce a u32 bit table over groups of ``g`` adjacent bits ('or' for
+    occupancy, 'and' for certificates). words: u32 (multiple of 128,);
+    returns the g×-smaller table padded back to a multiple of 128. Padding
+    bits are 0, which is conservative for both modes (pad cells are out of
+    range for 'or'; 'and' simply never certifies them)."""
+    w = words.astype(jnp.uint32)
+    steps = {2: 1, 4: 2}[g]
+    for _ in range(steps):
+        p = (w | (w >> 1)) if mode == "or" else (w & (w >> 1))
+        h = _compress_even_bits(p)
+        w = h[0::2] | (h[1::2] << 16)
+    pad = (-w.shape[0]) % 128
+    if pad:
+        w = jnp.concatenate([w, jnp.zeros(pad, jnp.uint32)])
+    return w
+
+
 def _part1by2(v):
     """Spread low bits 3 apart (valid for v < 256)."""
     v = (v | (v << 8)) & 0x0300F00F
@@ -223,6 +252,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      resolve_steps=CELL_RESOLVE_STEPS,
                      queue_depth=1, refill_every=4, nee_mode=False,
                      march_unroll=1, sun_mode="all",
+                     march_group=1, n_lod2g_words=0,
                      slow_after=48, debug_totals=False, resume=False):
     C = queue_depth
     queued = C > 1 or nee_mode
@@ -256,15 +286,15 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         tbl0 = base_rays
     (lod2_ref, solid_ref, dist3_ref, dist4_ref, rankb_ref, occm_ref,
      occb_ref, mlo_ref, mhi_ref, colors_ref, pal_ref,
-     sun_ref) = refs[tbl0 : tbl0 + 12]
+     sun_ref, lod2g_ref, sung_ref) = refs[tbl0 : tbl0 + 14]
     if queued:
         # Queued mode writes PACKED per-chunk outputs (t, word, af, col);
         # the wrapper unpacks in XLA.
         assert not debug_totals
-        t_ref, word_ref, af_ref, col_ref = refs[tbl0 + 12 :]
+        t_ref, word_ref, af_ref, col_ref = refs[tbl0 + 14 :]
     else:
         (t_ref, ix_ref, iy_ref, iz_ref,
-         nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 12 :]
+         nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 14 :]
     res = grid_res
     r2 = res // 4
     fres = float(res)
@@ -490,6 +520,22 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         cell = ((pz >> 2) * r2 + (py >> 2)) * r2 + (px >> 2)
         cw = cell >> 5
         cb = cell & 31
+        # ``march_group`` G > 1: the march's occupancy test reads a G×
+        # SMALLER bit table (bit = OR of G cells adjacent along cx; the
+        # sun certificate the AND) — halving/quartering the hottest gather.
+        # A set group bit is conservative: the ray stalls into a fetch
+        # round, which re-reads EXACT LOD2 and crosses a group-occupied but
+        # cell-empty cell with the in-cell DDA (~2.3% of empty cells on
+        # example6 at G=2, PERF_NOTES).
+        gsh = {1: 0, 2: 1, 4: 2}[march_group]
+        if march_group > 1:
+            occ_idx = cell >> gsh
+            occ_tab, sun_tab, occ_n = lod2g_ref, sung_ref, n_lod2g_words
+        else:
+            occ_idx = cell
+            occ_tab, sun_tab, occ_n = lod2_ref, sun_ref, n_lod2_words
+        ow = occ_idx >> 5
+        ob = occ_idx & 31
         if use_dist4:
             # Closest-hit mode reads ONLY the 2-bit cell distance field per
             # march step: 0 ⇒ occupied (the occupancy test), d ≥ 1 ⇒ the
@@ -511,16 +557,16 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             # unrolled segments (halving the dual-gather cost; retirement
             # delayed ≤1 advance, outputs identical), 'off' disables the
             # early-out (pure A/B knob — shadow rays march to escape).
-            w2, wsun = _gather_words2(lod2_ref, sun_ref, cw, n_lod2_words)
-            sun_esc = ((wsun >> cb) & 1) != 0
+            w2, wsun = _gather_words2(occ_tab, sun_tab, ow, occ_n)
+            sun_esc = ((wsun >> ob) & 1) != 0
             if nee_mode:
                 sun_esc = sun_esc & (s_phase != 0)
             miss = miss | (live & inb & sun_esc)
             live = active & ~miss
-            occ2 = ((w2 >> cb) & 1) != 0
+            occ2 = ((w2 >> ob) & 1) != 0
         else:
-            w2 = _gather_words(lod2_ref, cw, n_lod2_words)
-            occ2 = ((w2 >> cb) & 1) != 0
+            w2 = _gather_words(occ_tab, ow, occ_n)
+            occ2 = ((w2 >> ob) & 1) != 0
         at_occ = live & occ2
 
         # ONE packed max-reduce answers both questions (scalar-producing
@@ -538,7 +584,9 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         # while occupied). The mask table holds MIXED cells only, indexed by
         # prefix-popcount rank; solid cells read an implicit all-ones mask.
         def fetch_and_resolve():
-            if use_dist4:
+            if use_dist4 or march_group > 1:
+                # the march's occupancy word is cell-inexact here — gather
+                # the exact LOD2 word alongside the rank tables
                 ws, base, w2f = _gather_words3(solid_ref, rankb_ref, lod2_ref,
                                                cw, n_lod2_words)
             else:
@@ -553,6 +601,14 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             )
             mask_lo = jnp.where(solid_here, jnp.int32(-1), mask_lo)
             mask_hi = jnp.where(solid_here, jnp.int32(-1), mask_hi)
+            if march_group > 1:
+                # Group-occupied but cell-EMPTY rays (the conservative
+                # at_occ false positives) read an all-zero mask: the
+                # in-cell DDA walks them watertightly across the empty
+                # cell and they resume marching outside it.
+                cell_occ = ((w2f >> cb) & 1) != 0
+                mask_lo = jnp.where(cell_occ, mask_lo, 0)
+                mask_hi = jnp.where(cell_occ, mask_hi, 0)
 
             # In-register single-voxel DDA across the fetched 4³ cell: the
             # entry voxel is tested, then ≤resolve_steps watertight unit
@@ -686,17 +742,20 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                 tzz = jnp.where(use4, tzz4, tzzA)
                 mint = jnp.where(use4, mint4, mintA)
             elif use_xslab:
-                # Candidate B: the LOD2 word already gathered for the
-                # occupancy test covers a full X-row of 32 cells (res×4×4
-                # voxels at one (cy, cz); soundness requires 32 % r2 == 0,
-                # asserted in raytrace_pallas); w2 == 0 certifies that whole
-                # slab empty. Free long-range skip for X-dominant rays — no
-                # extra gather.
+                # Candidate B: the occupancy word already gathered for the
+                # occupancy test covers full X-rows of cells (soundness
+                # asserted in raytrace_pallas); w2 == 0 certifies that
+                # whole slab empty. Free long-range skip for X-dominant
+                # rays — no extra gather. At march_group G > 1 the word
+                # spans G aligned rows, so the certified box grows to
+                # res × 4G × 4.
                 validB = w2_ == 0
-                loyB = ((py_ >> 2) << 2).astype(jnp.float32)
+                extyB = jnp.float32(4.0 * march_group)
+                loyB = (((py_ >> 2) & ~(march_group - 1)) << 2).astype(
+                    jnp.float32)
                 lozB = ((pz_ >> 2) << 2).astype(jnp.float32)
                 fxB, fyB, fzB, txxB, tyyB, tzzB, mintB = box_exit(
-                    jnp.float32(0.0), loyB, lozB, fres, jnp.float32(4.0),
+                    jnp.float32(0.0), loyB, lozB, fres, extyB,
                     jnp.float32(4.0))
 
                 # Both boxes contain the current position, so the ray may
@@ -706,7 +765,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                 loy = jnp.where(useB, loyB, loyA)
                 loz = jnp.where(useB, lozB, lozA)
                 extx = jnp.where(useB, fres, extA)
-                exty = jnp.where(useB, 4.0, extA)
+                exty = jnp.where(useB, extyB, extA)
                 extz = jnp.where(useB, 4.0, extA)
                 fx = jnp.where(useB, fxB, fxA)
                 fy = jnp.where(useB, fyB, fyA)
@@ -768,19 +827,18 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             miss_u = o_act & ((o_t > far) | ~inb_u)
             live_u = o_act & ~miss_u
             cell_u = ((o_pz >> 2) * r2 + (o_py >> 2)) * r2 + (o_px >> 2)
-            cw_u = cell_u >> 5
-            cb_u = cell_u & 31
+            ow_u = (cell_u >> gsh) >> 5
+            ob_u = (cell_u >> gsh) & 31
             if use_sun_open or (nee_mode and sun_mode != "off"):
-                w2_u, wsun_u = _gather_words2(lod2_ref, sun_ref, cw_u,
-                                              n_lod2_words)
-                sun_esc_u = ((wsun_u >> cb_u) & 1) != 0
+                w2_u, wsun_u = _gather_words2(occ_tab, sun_tab, ow_u, occ_n)
+                sun_esc_u = ((wsun_u >> ob_u) & 1) != 0
                 if nee_mode:
                     sun_esc_u = sun_esc_u & (s_phase != 0)
                 miss_u = miss_u | (live_u & inb_u & sun_esc_u)
                 live_u = o_act & ~miss_u
             else:
-                w2_u = _gather_words(lod2_ref, cw_u, n_lod2_words)
-            occ2_u = ((w2_u >> cb_u) & 1) != 0
+                w2_u = _gather_words(occ_tab, ow_u, occ_n)
+            occ2_u = ((w2_u >> ob_u) & 1) != 0
             march_u = live_u & ~occ2_u
             nat_u, napx_u, napy_u, napz_u, anx_u, any_u, anz_u = \
                 march_candidates(o_t, o_px, o_py, o_pz, w2_u)
@@ -1066,7 +1124,7 @@ class PallasTraceResult(NamedTuple):
                      "interpret", "fetch_cadence", "debug_totals",
                      "block_rows", "use_sun_open", "use_xslab", "use_dist4",
                      "resolve_steps", "queue_depth", "refill_every",
-                     "march_unroll", "sun_mode"),
+                     "march_unroll", "sun_mode", "march_group"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -1079,6 +1137,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     resolve_steps: int = CELL_RESOLVE_STEPS,
                     queue_depth: int = 1, refill_every: int = 4,
                     march_unroll: int = 1, sun_mode: str = "all",
+                    march_group: int = 1,
                     nee=None, alive=None,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
@@ -1275,6 +1334,26 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     sun = tables.sun_open_words.reshape(-1, LANES).astype(jnp.int32)
     n_mixed_rows = mlo.shape[0]
 
+    # march_group G > 1: derive the G×-smaller march occupancy / sun tables
+    # (bit = OR / AND over G cells adjacent along cx) from the exact ones —
+    # a few hundred u32s of bit math, fused into the dispatch.
+    assert march_group in (1, 2, 4), march_group
+    if march_group > 1:
+        assert not use_dist4, "dist4 replaces the grouped occupancy read"
+        # candidate-B soundness at G: a group word must span whole X-rows,
+        # G-aligned row groups must sit inside one word's extent, and the
+        # ray's 4G-aligned Y box must tile the cell grid.
+        assert (32 * march_group) % r2 == 0 and r2 % march_group == 0, (
+            march_group, r2)
+        lod2g = _group_bits(tables.lod2_words, march_group, "or").reshape(
+            -1, LANES).astype(jnp.int32)
+        sung = _group_bits(tables.sun_open_words, march_group,
+                           "and").reshape(-1, LANES).astype(jnp.int32)
+        n_lod2g_words = (r2 * r2 * r2 // march_group + 31) // 32
+    else:
+        lod2g, sung = lod2, sun
+        n_lod2g_words = n_lod2_words
+
     if queued:
         out_shapes = [
             jax.ShapeDtypeStruct((nb, queue_depth, block_rows, LANES), dt)
@@ -1301,6 +1380,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         resolve_steps=resolve_steps,
         queue_depth=queue_depth, refill_every=refill_every,
         nee_mode=nee_mode, march_unroll=march_unroll, sun_mode=sun_mode,
+        march_group=march_group, n_lod2g_words=n_lod2g_words,
         debug_totals=debug_totals, resume=resume,
     )
 
@@ -1319,6 +1399,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             table_spec(mlo.shape[0]), table_spec(mhi.shape[0]),
             table_spec(colors.shape[0]), table_spec(pal.shape[0]),
             table_spec(sun.shape[0]),
+            table_spec(lod2g.shape[0]), table_spec(sung.shape[0]),
         ],
         out_specs=[ray_spec] * n_out,
         out_shape=out_shapes,
@@ -1327,7 +1408,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         ),
         interpret=interpret,
     )(*ins, *nee_ins, *amask_ins, lod2, solid, dist3, dist4, rankb, occm,
-      occb, mlo, mhi, colors, pal, sun)
+      occb, mlo, mhi, colors, pal, sun, lod2g, sung)
 
     def pack3(x, y, z):
         """Vector outputs follow the input layout: V3 in -> V3 out."""

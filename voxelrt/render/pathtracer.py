@@ -382,6 +382,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 march_unroll=cfg.dda_march_unroll,
                 fetch_cadence=cfg.dda_fetch_cadence,
                 sun_mode=cfg.dda_sun_mode,
+                march_group=cfg.dda_march_group,
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
                 nee=nee,
