@@ -136,6 +136,16 @@ def test_multichip_dryrun():
     __graft_entry__.dryrun_multichip(min(n, 8))
 
 
+def test_graft_entry_lowers():
+    """entry() must stay jittable — the driver compile-checks it every
+    round (it silently rotted once when the shading path moved to SoA V3
+    and the epilogue stopped returning plain arrays)."""
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    jax.jit(fn).lower(*args)
+
+
 def test_multichip_matches_single_device():
     """Sharded plain-average render must equal the single-device render."""
     from voxelrt.parallel import sharding
