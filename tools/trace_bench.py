@@ -167,7 +167,10 @@ def main():
         np.linalg.norm(tang, axis=1, keepdims=True), 1e-9)
     bit = np.cross(nrm, tang)
     d_bnc = (local[:, 0:1] * tang + local[:, 1:2] * bit + local[:, 2:3] * nrm)
-    d_bnc = (d_bnc / np.linalg.norm(d_bnc, axis=1, keepdims=True)).astype(np.float32)
+    # missed-primary rows have nrm = 0 -> zero-length d_bnc; keep them
+    # finite (they are masked out of the bounce set below)
+    d_bnc = (d_bnc / np.maximum(
+        np.linalg.norm(d_bnc, axis=1, keepdims=True), 1e-9)).astype(np.float32)
 
     if args.scene and args.sun:
         sun = np.asarray(sc._light_direction, np.float32)

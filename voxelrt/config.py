@@ -167,6 +167,12 @@ class RenderConfig:
     # (and so last-ulp t) can differ from G=1.
     dda_march_group: int = 1  # 1 | 2 | 4
 
+    # In-cell DDA unroll length per fetch round (9 = the longest monotone
+    # voxel path through a 4³ cell resolves in one fetch; shorter unrolls
+    # run fewer mask tests per fetch but re-fetch rays that cross a cell
+    # in more steps — the resolve is resumable either way, results exact).
+    dda_resolve_steps: int = 9
+
     # Escape-sky fetch estimator: 'stochastic' picks ONE bilinear corner
     # per sample with probability equal to its bilinear weight — unbiased
     # (the fetch is linear in texel values) and the same per-sample dither

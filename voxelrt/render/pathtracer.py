@@ -383,6 +383,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 fetch_cadence=cfg.dda_fetch_cadence,
                 sun_mode=cfg.dda_sun_mode,
                 march_group=cfg.dda_march_group,
+                resolve_steps=cfg.dda_resolve_steps,
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
                 nee=nee,
