@@ -100,6 +100,12 @@ def main():
         np.asarray(jax.device_get(r.state.color[0, 0]))
 
     n_measured = args.spp if args.full else min(args.measure_spp, args.spp)
+    if n_measured < 64:
+        # A single small timed dispatch carries residual overhead on the
+        # tunneled chip (a depth-1 config measured 32.5 ms/spp at a 32-spp
+        # window vs 12.6 real at 64+, PERF_NOTES round 3) — flag it.
+        print("WARNING: measurement window < 64 spp overstates per-spp "
+              "time; prefer --spp >= 64 or --full", file=sys.stderr)
     # 64 spp per dispatch: the per-dispatch overhead on the tunneled TPU is
     # ~26 ms (tools/chunk_scaling.py — 78.6/76.7/75.4/75.3 ms/spp at chunk
     # 8/16/64/128), amortized away by chunk 64. Matches headless.render's

@@ -149,9 +149,30 @@ def _untile(w, h, x):
     return x.reshape((w, h) + rest)
 
 
+def wavefront_constants(cfg, render_scale):
+    """Ray-index-derived per-launch constants (pixel grid, sample-of-ray,
+    wavefront pixel uv). Pure functions of (cfg, render_scale) — callers
+    that loop launches (accumulate_n) compute them ONCE outside the loop:
+    XLA otherwise rematerializes the iota chains every launch, writing
+    14.7M-lane arrays through strided relayouts (~0.5 ms/spp measured)."""
+    w, h = cfg.image_res
+    aw = max(int(w * render_scale), 1)
+    ah = max(int(h * render_scale), 1)
+    u, v = _pixel_grid(aw, ah)
+    k = max(1, cfg.samples_per_launch)
+    if k == 1:
+        return (u, v, None, None, None)
+    n = u.shape[0]
+    ridx = jnp.arange(k * n, dtype=jnp.int32)
+    s_of_ray = ridx // n
+    pix = ridx - s_of_ray * n
+    uu, vv = _pixel_uv_from_index(aw, ah, pix)
+    return (u, v, s_of_ray, uu, vv)
+
+
 def accumulate(cfg, scene: SceneData, params: RenderParams,
                state: RenderState, key, camera_is_moving: bool,
-               render_scale: float) -> RenderState:
+               render_scale: float, wf=None) -> RenderState:
     """One progressive frame for every pixel (renderer/pathtracer.py:1310-1319).
 
     Traces ``cfg.samples_per_launch`` fresh path samples (the reference
@@ -173,8 +194,10 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
     aw = max(int(w * render_scale), 1)
     ah = max(int(h * render_scale), 1)
     scaled = (aw, ah) != (w, h)
-    u, v = _pixel_grid(aw, ah)
     k_samples = max(1, cfg.samples_per_launch)
+    if wf is None:
+        wf = wavefront_constants(cfg, render_scale)
+    u, v = wf[0], wf[1]
     if cfg.use_restir_pt:
         # The GRIS pass consumes one reservoir per sample.
         assert k_samples == 1, "samples_per_launch must be 1 with ReSTIR-PT"
@@ -202,17 +225,14 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
         # broadcast+reshape) all lower to k dynamic-update-slices per
         # array on TPU: measured 7.1 ms/spp across the ~10 expanded
         # arrays. Values (and so images) are bitwise identical.
-        ridx = jnp.arange(k_samples * n, dtype=jnp.int32)
-        s_of_ray = ridx // n
-        pix = ridx - s_of_ray * n
-        uu, vv = _pixel_uv_from_index(aw, ah, pix)
+        s_of_ray, uu, vv = wf[2:5]
 
         def per_sample_rows(tbl):
             """(k, m) table -> (k*n, m): row s_of_ray per ray, as a
             k-way select chain (fusable; no gather, no expansion)."""
             cols = []
             for c in range(tbl.shape[1]):
-                acc = jnp.broadcast_to(tbl[0, c], ridx.shape)
+                acc = jnp.broadcast_to(tbl[0, c], s_of_ray.shape)
                 for r_ in range(1, tbl.shape[0]):
                     acc = jnp.where(s_of_ray == r_, tbl[r_, c], acc)
                 cols.append(acc)
@@ -351,10 +371,14 @@ def accumulate_n(cfg, scene, params, state, key, camera_is_moving,
     PERF_NOTES.md). Runs ceil(n_samples / samples_per_launch) frames."""
     k = max(1, cfg.samples_per_launch)
     n_frames = -(-n_samples // k)
+    # Hoist the iota-derived wavefront constants out of the launch loop
+    # (closed-over arrays become loop invariants instead of per-launch
+    # rematerialized relayout writes).
+    wf = wavefront_constants(cfg, render_scale)
 
     def step(i, st):
         return accumulate(cfg, scene, params, st, jax.random.fold_in(key, i),
-                          camera_is_moving, render_scale)
+                          camera_is_moving, render_scale, wf=wf)
 
     return jax.lax.fori_loop(0, n_frames, step, state)
 
