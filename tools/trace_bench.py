@@ -78,6 +78,8 @@ def main():
     ap.add_argument("--resolve-steps", type=int, default=9,
                     help="in-cell DDA unroll length (resumable; 9 = whole "
                          "cell in one fetch)")
+    ap.add_argument("--mixed-scan", default="full",
+                    help="mixed-mask scan strategy: full | span")
     ap.add_argument("--noxslab", action="store_true",
                     help="disable the candidate-B X-slab skip (A/B its "
                          "per-iteration cost)")
@@ -214,6 +216,7 @@ def main():
                     fetch_colors=fetch_c, any_hit=any_hit,
                     use_sun_open=sun_open,
                     use_xslab=not args.noxslab,
+                    mixed_scan=args.mixed_scan,
                     resolve_steps=args.resolve_steps,
                     queue_depth=args.queue, refill_every=args.refill,
                     march_unroll=args.unroll,

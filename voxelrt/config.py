@@ -167,6 +167,12 @@ class RenderConfig:
     # (and so last-ulp t) can differ from G=1.
     dda_march_group: int = 1  # 1 | 2 | 4
 
+    # Mixed-mask table scan strategy in the fetch round: 'full' is the
+    # static ceil(n_mixed/128)-round dual scan; 'span' scans only the
+    # dynamic row span the fetching MIXED-cell lanes actually index
+    # (z-major ranks are spatially local). Results identical.
+    dda_mixed_scan: str = "full"  # 'full' | 'span'
+
     # In-cell DDA unroll length per fetch round (9 = the longest monotone
     # voxel path through a 4³ cell resolves in one fetch; shorter unrolls
     # run fewer mask tests per fetch but re-fetch rays that cross a cell

@@ -159,6 +159,38 @@ def _gather_words2(ref_a, ref_b, word_idx, n_words):
     return out_a, out_b
 
 
+def _gather_words2_span(ref_a, ref_b, word_idx, relevant):
+    """Dual gather like ``_gather_words2``, but scans only the DYNAMIC row
+    span [min, max] of the (128-word) table rows the ``relevant`` lanes
+    actually index. Mixed-cell ranks are z-major prefix counts, so the
+    lanes served by one fetch round tend to sit in a few contiguous rows —
+    the span loop then replaces a full static ceil(n/128)-round scan with
+    ~span dynamic rounds (+2 scalar reduces). Non-relevant lanes read 0."""
+    lane = word_idx & 127
+    row_id = word_idx >> 7
+    BIGI = jnp.int32(0x7FFFFFFF)
+    rmin = jnp.min(jnp.where(relevant, row_id, BIGI))
+    rmax = jnp.max(jnp.where(relevant, row_id, -1))
+
+    def scond(c):
+        return c[0] <= rmax
+
+    def sbody(c):
+        k, out_a, out_b = c
+        row_a = jnp.broadcast_to(ref_a[pl.ds(k, 1), :], word_idx.shape)
+        row_b = jnp.broadcast_to(ref_b[pl.ds(k, 1), :], word_idx.shape)
+        ga = jnp.take_along_axis(row_a, lane, axis=1)
+        gb = jnp.take_along_axis(row_b, lane, axis=1)
+        sel = row_id == k
+        return (k + 1, jnp.where(sel, ga, out_a), jnp.where(sel, gb, out_b))
+
+    _, out_a, out_b = jax.lax.while_loop(
+        scond, sbody,
+        (rmin, jnp.zeros_like(word_idx), jnp.zeros_like(word_idx)),
+    )
+    return out_a, out_b
+
+
 def _gather_words3(ref_a, ref_b, ref_c, word_idx, n_words):
     """Gather the same index from three parallel tables in one scan."""
     rounds = -(-n_words // LANES)
@@ -253,7 +285,8 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      queue_depth=1, refill_every=4, nee_mode=False,
                      march_unroll=1, sun_mode="all",
                      march_group=1, n_lod2g_words=0,
-                     slow_after=48, debug_totals=False, resume=False):
+                     slow_after=48, debug_totals=False, resume=False,
+                     mixed_scan="full"):
     C = queue_depth
     queued = C > 1 or nee_mode
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -596,9 +629,19 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             solid_here = ((ws >> cb) & 1) != 0
             below = (w2f & ~ws) & ((1 << cb) - 1)
             rank = base + _popcount32(below)
-            mask_lo, mask_hi = _gather_words2(
-                mlo_ref, mhi_ref, rank, n_mixed_rows * LANES
-            )
+            if mixed_scan == "span":
+                # The mask tables are the kernel's largest static scan
+                # (ceil(n_mixed/128) dual rounds every fetch); only lanes at
+                # MIXED cells need it, and their z-major ranks are spatially
+                # local, so scan just the dynamic row span they cover.
+                mix = at_occ & (((w2f >> cb) & 1) != 0) & ~solid_here
+                mask_lo, mask_hi = _gather_words2_span(
+                    mlo_ref, mhi_ref, rank, mix
+                )
+            else:
+                mask_lo, mask_hi = _gather_words2(
+                    mlo_ref, mhi_ref, rank, n_mixed_rows * LANES
+                )
             mask_lo = jnp.where(solid_here, jnp.int32(-1), mask_lo)
             mask_hi = jnp.where(solid_here, jnp.int32(-1), mask_hi)
             if march_group > 1:
@@ -1124,7 +1167,8 @@ class PallasTraceResult(NamedTuple):
                      "interpret", "fetch_cadence", "debug_totals",
                      "block_rows", "use_sun_open", "use_xslab", "use_dist4",
                      "resolve_steps", "queue_depth", "refill_every",
-                     "march_unroll", "sun_mode", "march_group"),
+                     "march_unroll", "sun_mode", "march_group",
+                     "mixed_scan"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -1137,7 +1181,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     resolve_steps: int = CELL_RESOLVE_STEPS,
                     queue_depth: int = 1, refill_every: int = 4,
                     march_unroll: int = 1, sun_mode: str = "all",
-                    march_group: int = 1,
+                    march_group: int = 1, mixed_scan: str = "full",
                     nee=None, alive=None,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
@@ -1309,6 +1353,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     # not replayed there, so the combination is not implemented.
     assert march_unroll == 1 or not use_dist4, (march_unroll, use_dist4)
     assert march_unroll >= 1, march_unroll
+    assert mixed_scan in ("full", "span"), mixed_scan
 
     r2 = grid_res // 4
     r3 = grid_res // 8
@@ -1381,7 +1426,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         queue_depth=queue_depth, refill_every=refill_every,
         nee_mode=nee_mode, march_unroll=march_unroll, sun_mode=sun_mode,
         march_group=march_group, n_lod2g_words=n_lod2g_words,
-        debug_totals=debug_totals, resume=resume,
+        debug_totals=debug_totals, resume=resume, mixed_scan=mixed_scan,
     )
 
     nee_ins = [nee_scalars] if nee_mode else []

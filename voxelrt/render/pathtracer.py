@@ -239,6 +239,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
         refill_every=cfg.dda_refill_every,
         march_unroll=cfg.dda_march_unroll,
         fetch_cadence=cfg.dda_fetch_cadence,
+        mixed_scan=cfg.dda_mixed_scan,
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
     )
     if p1 and p1 < cfg.max_dda_advances:
@@ -384,6 +385,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 sun_mode=cfg.dda_sun_mode,
                 march_group=cfg.dda_march_group,
                 resolve_steps=cfg.dda_resolve_steps,
+                mixed_scan=cfg.dda_mixed_scan,
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
                 nee=nee,
