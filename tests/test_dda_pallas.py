@@ -291,6 +291,53 @@ def test_march_group_matches_exact():
                                       np.asarray(q.ipos)[hh])
 
 
+def test_mixed_scan_span_matches_full():
+    """mixed_scan='span' (dynamic row-span scan of the rank-compressed
+    mixed-mask table) is a pure scan-strategy choice: results must be
+    bitwise identical to the default 'full' static scan in closest-hit and
+    any-hit modes, across the march_group and use_dist4 axes and through
+    the queued+unrolled path the renderer uses."""
+    res = 32
+    world, tables, pyr, arrays = make_setup(res, 0.10, 13)
+    rng = np.random.default_rng(17)
+    n = 4096
+    o = rng.uniform(-res * 0.5, res * 1.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    combos = [
+        dict(),                                   # plain closest-hit
+        dict(any_hit=True, fetch_colors=False),   # shadow any-hit
+        dict(march_group=2),
+        dict(use_dist4=True),  # (dist4 excludes march_group>1 / unroll>1)
+        dict(queue_depth=4, refill_every=2, march_unroll=2,
+             fetch_cadence=1),
+        dict(any_hit=True, fetch_colors=False, queue_depth=4,
+             refill_every=2, march_unroll=2, fetch_cadence=1),
+    ]
+    for kw in combos:
+        full = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
+                               1e-6, np.inf, res, interpret=True,
+                               mixed_scan="full", **kw)
+        span = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
+                               1e-6, np.inf, res, interpret=True,
+                               mixed_scan="span", **kw)
+        fd, sd_ = np.asarray(full.distance), np.asarray(span.distance)
+        np.testing.assert_array_equal(np.isfinite(fd), np.isfinite(sd_),
+                                      err_msg=f"hit verdicts, kw={kw}")
+        h = np.isfinite(fd)
+        assert h.sum() > 500
+        np.testing.assert_array_equal(fd[h], sd_[h],
+                                      err_msg=f"distances, kw={kw}")
+        if not kw.get("any_hit"):
+            np.testing.assert_array_equal(np.asarray(full.ipos)[h],
+                                          np.asarray(span.ipos)[h])
+            np.testing.assert_array_equal(np.asarray(full.normal)[h],
+                                          np.asarray(span.normal)[h])
+            np.testing.assert_array_equal(np.asarray(full.color_word)[h],
+                                          np.asarray(span.color_word)[h])
+
+
 def test_queued_alive_skip_matches_plain():
     """alive= (per-slot dead-entry skip): queued traces must equal the
     plain kernel on every ALIVE lane and return the canonical miss

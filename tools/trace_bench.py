@@ -78,8 +78,8 @@ def main():
     ap.add_argument("--resolve-steps", type=int, default=9,
                     help="in-cell DDA unroll length (resumable; 9 = whole "
                          "cell in one fetch)")
-    ap.add_argument("--mixed-scan", default="full",
-                    help="mixed-mask scan strategy: full | span")
+    ap.add_argument("--mixed-scan", choices=("full", "span"), default="full",
+                    help="mixed-mask scan strategy")
     ap.add_argument("--noxslab", action="store_true",
                     help="disable the candidate-B X-slab skip (A/B its "
                          "per-iteration cost)")

@@ -258,6 +258,9 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
             cfg.max_dda_advances - p1,
             fetch_colors=not shadow_ray, any_hit=shadow_ray,
             use_sun_open=sun_shadow,
+            march_unroll=cfg.dda_march_unroll,
+            fetch_cadence=cfg.dda_fetch_cadence,
+            mixed_scan=cfg.dda_mixed_scan,
             interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
             resume_state=(tr.distance, tr.normal, tr.active),
         )
