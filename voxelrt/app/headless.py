@@ -308,7 +308,7 @@ class HeadlessRenderer:
                     self._frame, spp_per_frame,
                     (time.perf_counter() - tf0) * 1e3,
                     n_rays=spp_per_frame * n_pix * 2 * self.cfg.max_ray_depth,
-                    quiet=self.quiet,
+                    quiet=self.quiet, moving=camera_is_moving,
                 )
             if on_frame is not None:
                 img = self.fetch_image(render_scale)

@@ -72,14 +72,21 @@ class ViewerState:
 
 
 def serve(scene, port=8000, host="127.0.0.1", spp_per_frame=1,
-          stats_csv=None, max_frames=None, ready_cb=None):
+          stats_csv=None, max_frames=None, ready_cb=None, res=None):
     """Serve the browser viewer. ``port=0`` binds an ephemeral port;
     ``ready_cb(port)`` fires once the server is listening; ``max_frames``
     bounds the render loop (None = run until interrupted) — both exist so
-    tests (and scripted demos) can drive a real server lifecycle."""
+    tests (and scripted demos) can drive a real server lifecycle.
+    ``res``: serve at this resolution instead of the scene's (e.g.
+    ``(1920, 1080)``, the reference's native window size, scene.py:12)."""
     from voxelrt.utils.image import to_uint8_rows
     from voxelrt.utils.native import encode_png, frame_writer
 
+    if res is not None and tuple(res) != tuple(scene.config.image_res):
+        scene.config = scene.config.__class__(
+            **{**scene.config.__dict__, "image_res": tuple(res)}
+        )
+        scene._renderer = None  # rebuild under the new resolution
     r = scene.renderer
     r.prepare_data()
     vs = ViewerState()
@@ -152,18 +159,20 @@ def serve(scene, port=8000, host="127.0.0.1", spp_per_frame=1,
         rows = np.ascontiguousarray(to_uint8_rows(img))
         vs.frame_png = encode_png(rows, w, h, 3)
         vs.stat = dict(spp=int(np.asarray(r.state.spp)),
-                       ms=vs.stat.get("ms", 0.0), moving=False)
+                       ms=vs.stat.get("ms", 0.0),
+                       moving=vs.stat.get("moving", False))
 
     try:
         from voxelrt.utils.profiling import FrameStats
 
-        t_last = [time.perf_counter()]
         stats = FrameStats(csv_path=stats_csv)
 
         def on_frame_timed(i, img):
-            now = time.perf_counter()
-            vs.stat["ms"] = (now - t_last[0]) * 1e3
-            t_last[0] = now
+            # HUD timing comes from FrameStats' synced render wall (the
+            # row run_frames just recorded), not the server loop cadence.
+            if stats.rows:
+                vs.stat["ms"] = stats.rows[-1]["wall_ms"]
+                vs.stat["moving"] = stats.rows[-1]["moving"]
             on_frame(i, img)
 
         r.quiet = True  # FrameStats rows go to the CSV, not the console

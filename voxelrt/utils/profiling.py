@@ -28,16 +28,19 @@ class FrameStats:
         if csv_path:
             self._fh = open(csv_path, "w", newline="")
             self._csv = csv.writer(self._fh)
-            self._csv.writerow(["frame", "spp", "wall_ms", "mrays_per_s"])
+            self._csv.writerow(["frame", "spp", "wall_ms", "mrays_per_s",
+                                "moving"])
             self._fh.flush()
 
-    def record(self, frame, spp, wall_ms, n_rays=None, quiet=False):
+    def record(self, frame, spp, wall_ms, n_rays=None, quiet=False,
+               moving=False):
         mrays = (n_rays / wall_ms / 1e3) if (n_rays and wall_ms) else 0.0
         row = dict(frame=frame, spp=spp, wall_ms=round(wall_ms, 3),
-                   mrays_per_s=round(mrays, 2))
+                   mrays_per_s=round(mrays, 2), moving=bool(moving))
         self.rows.append(row)
         if self._csv:
-            self._csv.writerow([frame, spp, row["wall_ms"], row["mrays_per_s"]])
+            self._csv.writerow([frame, spp, row["wall_ms"],
+                                row["mrays_per_s"], int(row["moving"])])
             self._fh.flush()
         if not quiet:
             print(f"[frame {frame}] spp={spp} {wall_ms:.1f} ms "
