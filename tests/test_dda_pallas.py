@@ -338,6 +338,43 @@ def test_mixed_scan_span_matches_full():
                                           np.asarray(span.color_word)[h])
 
 
+def test_resolve_inc_matches_reference_form():
+    """resolve_inc (incremental Amanatides-Woo in-cell accumulators) must
+    agree with the recompute-from-t reference form: identical hit verdicts,
+    voxels and normals; distances within float accumulation slack."""
+    res = 32
+    world, tables, pyr, arrays = make_setup(res, 0.10, 11)
+    rng = np.random.default_rng(23)
+    n = 4096
+    o = rng.uniform(-res * 0.5, res * 1.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    for kw in (dict(),
+               dict(any_hit=True, fetch_colors=False),
+               dict(queue_depth=4, refill_every=2, march_unroll=2,
+                    fetch_cadence=1)):
+        ref = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
+                              1e-6, np.inf, res, interpret=True,
+                              resolve_inc=False, **kw)
+        inc = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
+                              1e-6, np.inf, res, interpret=True,
+                              resolve_inc=True, **kw)
+        rd, id_ = np.asarray(ref.distance), np.asarray(inc.distance)
+        np.testing.assert_array_equal(np.isfinite(rd), np.isfinite(id_),
+                                      err_msg=f"hit verdicts, kw={kw}")
+        h = np.isfinite(rd)
+        assert h.sum() > 500
+        np.testing.assert_allclose(id_[h], rd[h], rtol=1e-5, atol=1e-4)
+        if not kw.get("any_hit"):
+            np.testing.assert_array_equal(np.asarray(ref.ipos)[h],
+                                          np.asarray(inc.ipos)[h])
+            np.testing.assert_array_equal(np.asarray(ref.normal)[h],
+                                          np.asarray(inc.normal)[h])
+            np.testing.assert_array_equal(np.asarray(ref.color_word)[h],
+                                          np.asarray(inc.color_word)[h])
+
+
 def test_queued_alive_skip_matches_plain():
     """alive= (per-slot dead-entry skip): queued traces must equal the
     plain kernel on every ALIVE lane and return the canonical miss

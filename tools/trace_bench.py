@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--resolve-steps", type=int, default=9,
                     help="in-cell DDA unroll length (resumable; 9 = whole "
                          "cell in one fetch)")
+    ap.add_argument("--resolve-inc", action="store_true",
+                    help="incremental (Amanatides-Woo accumulator) in-cell "
+                         "DDA instead of the recompute-from-t form")
     ap.add_argument("--mixed-scan", choices=("full", "span"), default="full",
                     help="mixed-mask scan strategy")
     ap.add_argument("--noxslab", action="store_true",
@@ -218,6 +221,7 @@ def main():
                     use_xslab=not args.noxslab,
                     mixed_scan=args.mixed_scan,
                     resolve_steps=args.resolve_steps,
+                    resolve_inc=args.resolve_inc,
                     queue_depth=args.queue, refill_every=args.refill,
                     march_unroll=args.unroll,
                     fetch_cadence=cadence, interpret=args.interpret,

@@ -179,6 +179,11 @@ class RenderConfig:
     # in more steps — the resolve is resumable either way, results exact).
     dda_resolve_steps: int = 9
 
+    # In-cell DDA form: incremental Amanatides-Woo accumulators (True)
+    # halve the per-step ALU of the reference's recompute-from-t advance;
+    # hit distances move only at the ulp level (dda_pallas.py resolve).
+    dda_resolve_inc: bool = True
+
     # Escape-sky fetch estimator: 'stochastic' picks ONE bilinear corner
     # per sample with probability equal to its bilinear weight — unbiased
     # (the fetch is linear in texel values) and the same per-sample dither

@@ -281,7 +281,8 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      use_sun_open, n_lod2_words, n_dist3_words, n_mixed_rows,
                      n_dist4_words=0, use_dist4=False, use_palette=False,
                      use_xslab=True, fetch_cadence=2,
-                     resolve_steps=CELL_RESOLVE_STEPS,
+                     resolve_steps=CELL_RESOLVE_STEPS, resolve_inc=False,
+                     static_trange=None,
                      queue_depth=1, refill_every=4, nee_mode=False,
                      march_unroll=1, sun_mode="all",
                      march_group=1, n_lod2g_words=0,
@@ -289,17 +290,32 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      mixed_scan="full"):
     C = queue_depth
     queued = C > 1 or nee_mode
-    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-     tmin_ref, tmax_ref) = refs[:8]
-    base_rays = 8
+    if static_trange is None:
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tmin_ref, tmax_ref) = refs[:8]
+        base_rays = 8
+        ray_refs = (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    tmin_ref, tmax_ref)
+    else:
+        # tmin/tmax are launch constants (queued dispatches with an alive
+        # bitmask: the caller's wavefront mask lives in amask, padding
+        # lanes are dead by construction) — no per-ray arrays, two fewer
+        # queue fields in VMEM and in every refill select-chain.
+        assert queued and not resume
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = refs[:6]
+        tmin_ref = tmax_ref = None
+        base_rays = 6
+        ray_refs = (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref)
+        st_tmin = jnp.float32(static_trange[0])
+        st_tmax = jnp.float32(static_trange[1])
     if nee_mode:
         # In-kernel NEE (see raytrace_pallas docstring): per-ray cone
         # uniforms + the floor-surface alternative hit distance (grid
         # units; inf = no floor), plus an SMEM row of launch scalars
         # [L, X, Y, cone_cos, eps_grid, shadow_tmin] (the constant sun
         # frame, so the cone sample is pure per-lane ALU).
-        u1_ref, u2_ref, alt_ref, nee_ref = refs[8:12]
-        base_rays = 12
+        u1_ref, u2_ref, alt_ref, nee_ref = refs[base_rays:base_rays + 4]
+        base_rays += 4
     if queued:
         # Per-slot ALIVE bitmask (bit k = queue entry k is a live input
         # ray): refill rounds jump straight to the next set bit, so dead
@@ -424,16 +440,14 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
 
     if queued:
         def load_chunk(cursor, defaults):
-            """Select-chain load of the 8 ray fields at per-slot chunk index
+            """Select-chain load of the ray fields at per-slot chunk index
             ``cursor`` (static unroll over C); slots whose cursor matches no
             k keep their ``defaults``."""
             outs = list(defaults)
-            all_refs = (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                        tmin_ref, tmax_ref)
             for k in range(C):
                 selk = cursor == k
                 outs = [jnp.where(selk, r[0, k], o)
-                        for r, o in zip(all_refs, outs)]
+                        for r, o in zip(ray_refs, outs)]
             return outs
 
         def load_chunk_one(ref, cursor):
@@ -466,8 +480,13 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
 
         zf = jnp.zeros(ox_ref.shape[2:], jnp.float32)
         cursor0 = next_alive(jnp.full(ox_ref.shape[2:], -1, jnp.int32))
-        f = load_chunk(cursor0, [zf] * 8)
-        ox0, oy0, oz0, dx0, dy0, dz0, tmin0, tmax0 = f
+        f = load_chunk(cursor0, [zf] * len(ray_refs))
+        if static_trange is None:
+            ox0, oy0, oz0, dx0, dy0, dz0, tmin0, tmax0 = f
+        else:
+            ox0, oy0, oz0, dx0, dy0, dz0 = f
+            tmin0 = jnp.full(ox0.shape, st_tmin)
+            tmax0 = jnp.full(ox0.shape, st_tmax)
     else:
         ox0, oy0, oz0 = ox_ref[0], oy_ref[0], oz_ref[0]
         dx0, dy0, dz0 = dx_ref[0], dy_ref[0], dz_ref[0]
@@ -488,7 +507,10 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         word=word_i,
         af=af_i,
         total=jnp.int32(0),
-        n_live=jnp.sum((af_i >> 16) & 1),
+        # 0/1 at entry: keeps the loop alive without asserting "some ray
+        # is at an occupied cell" — rays that start at one stall a single
+        # iteration until the first carried reduce flags the fetch.
+        n_live=jnp.minimum(jnp.sum((af_i >> 16) & 1), 1),
         n_fetch=jnp.int32(0),
         n_grp=jnp.int32(0),
     )
@@ -605,8 +627,13 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         # ONE packed max-reduce answers both questions (scalar-producing
         # reductions cost ~130 ns): 0 ⇒ no live rays (loop can stop),
         # 2 ⇒ some live ray is at an occupied cell (a fetch is wanted).
+        # Both consumers read the PREVIOUS iteration's value from the loop
+        # carry (n_live) so the reduce→branch dependency is off the
+        # critical path: a ray at an occupied cell can only STALL, so
+        # serving it one iteration later is the same deferral the fetch
+        # cadence already performs — per-ray outputs are bitwise identical.
         m = jnp.max(live.astype(jnp.int32) + at_occ.astype(jnp.int32))
-        do_fetch = (m >= 2) & (
+        do_fetch = (s["n_live"] >= 2) & (
             (s["total"] % fetch_cadence == 0) | (s["total"] >= slow_after)
         )
 
@@ -670,6 +697,24 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             rhit = jnp.zeros(px.shape, jnp.bool_)
             steps = jnp.zeros(px.shape, jnp.int32)
             moving = at_occ
+            if resolve_inc:
+                # Incremental Amanatides–Woo accumulators: per-axis absolute
+                # t of the NEXT voxel-face crossing, initialized once per
+                # fetch and advanced by the (unit-cell) tDelta = inv each
+                # step — ~half the per-step ALU of the recompute-from-t
+                # form. Accumulation changes hit distances only at the ulp
+                # level over the ≤10 in-cell steps (vs the reference's
+                # recompute, raytracer.py:124-147); the portable-DDA
+                # equivalence tests compare at 1e-2.
+                fx0 = ox + dx * rt - rpx.astype(jnp.float32)
+                fy0 = oy + dy * rt - rpy.astype(jnp.float32)
+                fz0 = oz + dz * rt - rpz.astype(jnp.float32)
+                tmx = jnp.where(dx == 0.0, BIG,
+                                rt + jnp.where(dx > 0.0, 1.0 - fx0, fx0) * inv_x)
+                tmy = jnp.where(dy == 0.0, BIG,
+                                rt + jnp.where(dy > 0.0, 1.0 - fy0, fy0) * inv_y)
+                tmz = jnp.where(dz == 0.0, BIG,
+                                rt + jnp.where(dz > 0.0, 1.0 - fz0, fz0) * inv_z)
             for step in range(resolve_steps + 1):
                 local = ((rpz & 3) * 4 + (rpy & 3)) * 4 + (rpx & 3)
                 mword = jnp.where(local < 32, mask_lo, mask_hi)
@@ -681,23 +726,41 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                     break
                 # unit-cell watertight advance (cs = 1 ⇒ the reconstructed
                 # in-cell coordinate is always 0: new voxel = p + exit axis)
-                fx = ox + dx * rt - rpx.astype(jnp.float32)
-                fy = oy + dy * rt - rpy.astype(jnp.float32)
-                fz = oz + dz * rt - rpz.astype(jnp.float32)
-                dxx = jnp.where(dx > 0.0, 1.0 - fx, fx)
-                dyy = jnp.where(dy > 0.0, 1.0 - fy, fy)
-                dzz = jnp.where(dz > 0.0, 1.0 - fz, fz)
-                txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
-                tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
-                tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
-                mint = jnp.maximum(jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
-                anx = (txx == mint).astype(jnp.float32) * sx
-                any_ = (tyy == mint).astype(jnp.float32) * sy
-                anz = (tzz == mint).astype(jnp.float32) * sz
-                npx = rpx + anx.astype(jnp.int32)
-                npy = rpy + any_.astype(jnp.int32)
-                npz = rpz + anz.astype(jnp.int32)
-                rt = jnp.where(moving, rt + mint, rt)
+                if resolve_inc:
+                    mint_abs = jnp.maximum(
+                        jnp.minimum(jnp.minimum(tmx, tmy), tmz), rt)
+                    ax = tmx == mint_abs
+                    ay = tmy == mint_abs
+                    az = tmz == mint_abs
+                    anx = ax.astype(jnp.float32) * sx
+                    any_ = ay.astype(jnp.float32) * sy
+                    anz = az.astype(jnp.float32) * sz
+                    npx = rpx + anx.astype(jnp.int32)
+                    npy = rpy + any_.astype(jnp.int32)
+                    npz = rpz + anz.astype(jnp.int32)
+                    rt = jnp.where(moving, mint_abs, rt)
+                    tmx = jnp.where(moving & ax, tmx + inv_x, tmx)
+                    tmy = jnp.where(moving & ay, tmy + inv_y, tmy)
+                    tmz = jnp.where(moving & az, tmz + inv_z, tmz)
+                else:
+                    fx = ox + dx * rt - rpx.astype(jnp.float32)
+                    fy = oy + dy * rt - rpy.astype(jnp.float32)
+                    fz = oz + dz * rt - rpz.astype(jnp.float32)
+                    dxx = jnp.where(dx > 0.0, 1.0 - fx, fx)
+                    dyy = jnp.where(dy > 0.0, 1.0 - fy, fy)
+                    dzz = jnp.where(dz > 0.0, 1.0 - fz, fz)
+                    txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
+                    tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
+                    tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
+                    mint = jnp.maximum(
+                        jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
+                    anx = (txx == mint).astype(jnp.float32) * sx
+                    any_ = (tyy == mint).astype(jnp.float32) * sy
+                    anz = (tzz == mint).astype(jnp.float32) * sz
+                    npx = rpx + anx.astype(jnp.int32)
+                    npy = rpy + any_.astype(jnp.int32)
+                    npz = rpz + anz.astype(jnp.int32)
+                    rt = jnp.where(moving, rt + mint, rt)
                 rpx = jnp.where(moving, npx, rpx)
                 rpy = jnp.where(moving, npy, rpy)
                 rpz = jnp.where(moving, npz, rpz)
@@ -1022,10 +1085,17 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                 ncur = jnp.where(advance, next_alive(s["cursor"]),
                                  s["cursor"])
                 loadable = advance & (ncur < C)
-                cur_fields = (ox, oy, oz, dx, dy, dz,
-                              jnp.zeros_like(ox), jnp.zeros_like(ox))
-                nf = load_chunk(jnp.where(loadable, ncur, -1), cur_fields)
-                nox, noy, noz, ndx, ndy, ndz, ntmin, ntmax = nf
+                if static_trange is None:
+                    cur_fields = (ox, oy, oz, dx, dy, dz,
+                                  jnp.zeros_like(ox), jnp.zeros_like(ox))
+                    nf = load_chunk(jnp.where(loadable, ncur, -1), cur_fields)
+                    nox, noy, noz, ndx, ndy, ndz, ntmin, ntmax = nf
+                else:
+                    cur_fields = (ox, oy, oz, dx, dy, dz)
+                    nf = load_chunk(jnp.where(loadable, ncur, -1), cur_fields)
+                    nox, noy, noz, ndx, ndy, ndz = nf
+                    ntmin = jnp.full(nox.shape, st_tmin)
+                    ntmax = jnp.full(nox.shape, st_tmax)
                 if nee_mode:
                     # converting lanes load the in-place shadow ray instead
                     nox = jnp.where(conv, spx, nox)
@@ -1166,9 +1236,9 @@ class PallasTraceResult(NamedTuple):
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
                      "interpret", "fetch_cadence", "debug_totals",
                      "block_rows", "use_sun_open", "use_xslab", "use_dist4",
-                     "resolve_steps", "queue_depth", "refill_every",
-                     "march_unroll", "sun_mode", "march_group",
-                     "mixed_scan"),
+                     "resolve_steps", "resolve_inc", "queue_depth",
+                     "refill_every", "march_unroll", "sun_mode",
+                     "march_group", "mixed_scan"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -1179,6 +1249,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     use_sun_open: bool = False, use_xslab: bool = True,
                     use_dist4: bool | None = None,
                     resolve_steps: int = CELL_RESOLVE_STEPS,
+                    resolve_inc: bool = False,
                     queue_depth: int = 1, refill_every: int = 4,
                     march_unroll: int = 1, sun_mode: str = "all",
                     march_group: int = 1, mixed_scan: str = "full",
@@ -1268,14 +1339,26 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         o0, o1, o2 = o[:, 0], o[:, 1], o[:, 2]
         d0, d1, d2 = d[:, 0], d[:, 1], d[:, 2]
     resume = resume_state is not None
+    # Scalar tmin/tmax on a queued dispatch become LAUNCH CONSTANTS: no
+    # per-ray arrays, two fewer queue fields in VMEM and in every refill
+    # select-chain. Dead wavefront lanes are covered by the alive bitmask
+    # (and padding lanes by its zero-padding), so the caller's tmax
+    # masking is redundant there — outputs are bitwise identical.
+    static_trange = None
+    if (queued and not resume
+            and isinstance(ray_min_t, (int, float, np.floating))
+            and isinstance(ray_max_t, (int, float, np.floating))):
+        static_trange = (float(ray_min_t), float(ray_max_t))
     if resume:
         rs_t, rs_n, rs_act = resume_state
         # finished rays carry t = inf; keep dead lanes' math finite
         tmin = prep(jnp.where(rs_act != 0, rs_t, 0.0).astype(jnp.float32))
-    else:
+    elif static_trange is None:
         tmin = prep(jnp.broadcast_to(jnp.asarray(ray_min_t, jnp.float32),
                                      (n,)))
-    tmax = prep(jnp.broadcast_to(jnp.asarray(ray_max_t, jnp.float32), (n,)))
+    if static_trange is None:
+        tmax = prep(jnp.broadcast_to(jnp.asarray(ray_max_t, jnp.float32),
+                                     (n,)))
     nb = npad // block_rays
 
     if queued:
@@ -1293,16 +1376,17 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                                 memory_space=pltpu.VMEM)
 
     ins = [blk(o0), blk(o1), blk(o2),
-           blk(d0), blk(d1), blk(d2),
-           blk(tmin), blk(tmax)]
-    n_ray_ins = 8
+           blk(d0), blk(d1), blk(d2)]
+    if static_trange is None:
+        ins += [blk(tmin), blk(tmax)]
+    n_ray_ins = len(ins)
     if nee_mode:
         u = nee["u"]
         u0, u1 = (u[0], u[1]) if isinstance(u, tuple) else (u[:, 0], u[:, 1])
         ins += [blk(prep(u0.astype(jnp.float32))),
                 blk(prep(u1.astype(jnp.float32))),
                 blk(prep(nee["alt_t"].astype(jnp.float32)))]
-        n_ray_ins = 11
+        n_ray_ins += 3
         nee_scalars = jnp.concatenate([
             jnp.asarray(nee["light_dir"], jnp.float32).reshape(3),
             jnp.asarray(nee["tangent"], jnp.float32).reshape(3),
@@ -1396,7 +1480,10 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                            "and").reshape(-1, LANES).astype(jnp.int32)
         n_lod2g_words = (r2 * r2 * r2 // march_group + 31) // 32
     else:
-        lod2g, sung = lod2, sun
+        # unused at G=1 (the kernel reads lod2/sun directly) — tiny dummies
+        # instead of duplicating both tables into VMEM
+        lod2g = jnp.zeros((SUBLANES, LANES), jnp.int32)
+        sung = lod2g
         n_lod2g_words = n_lod2_words
 
     if queued:
@@ -1422,7 +1509,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         n_mixed_rows=n_mixed_rows, n_dist4_words=n_dist4_words,
         use_dist4=use_dist4, use_palette=use_palette,
         use_xslab=use_xslab, fetch_cadence=fetch_cadence,
-        resolve_steps=resolve_steps,
+        resolve_steps=resolve_steps, resolve_inc=resolve_inc,
+        static_trange=static_trange,
         queue_depth=queue_depth, refill_every=refill_every,
         nee_mode=nee_mode, march_unroll=march_unroll, sun_mode=sun_mode,
         march_group=march_group, n_lod2g_words=n_lod2g_words,

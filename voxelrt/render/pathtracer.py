@@ -240,6 +240,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
         march_unroll=cfg.dda_march_unroll,
         fetch_cadence=cfg.dda_fetch_cadence,
         mixed_scan=cfg.dda_mixed_scan,
+        resolve_inc=cfg.dda_resolve_inc,
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
     )
     if p1 and p1 < cfg.max_dda_advances:
@@ -261,6 +262,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
             march_unroll=cfg.dda_march_unroll,
             fetch_cadence=cfg.dda_fetch_cadence,
             mixed_scan=cfg.dda_mixed_scan,
+            resolve_inc=cfg.dda_resolve_inc,
             interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
             resume_state=(tr.distance, tr.normal, tr.active),
         )
@@ -388,6 +390,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 sun_mode=cfg.dda_sun_mode,
                 march_group=cfg.dda_march_group,
                 resolve_steps=cfg.dda_resolve_steps,
+                resolve_inc=cfg.dda_resolve_inc,
                 mixed_scan=cfg.dda_mixed_scan,
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
