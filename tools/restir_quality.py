@@ -52,14 +52,30 @@ def main():
     # (they share sample streams), which deflates their RMSE.
     ref = render(False, args.ref_spp, seed=9876)
     rows = []
+    import time
+
     for spp in args.spp:
+        render(False, spp)  # warm the jit for this config (time render only)
+        t0 = time.perf_counter()
         off = render(False, spp)
+        t_off = time.perf_counter() - t0
+        render(True, spp)
+        t0 = time.perf_counter()
         on = render(True, spp)
+        t_on = time.perf_counter() - t0
         r_off = float(np.sqrt(np.mean((off - ref) ** 2)))
         r_on = float(np.sqrt(np.mean((on - ref) ** 2)))
+        # Quality per second: how much plain-PT RMSE the same wall buys vs
+        # what ReSTIR delivers. RMSE ~ 1/sqrt(spp) ~ 1/sqrt(wall), so
+        # plain at ReSTIR's wall would reach r_off*sqrt(t_off/t_on); the
+        # ratio of that to r_on is the honest equal-time quality gain.
+        eq_time_gain = r_off * np.sqrt(t_off / max(t_on, 1e-9)) / max(r_on, 1e-9)
         rows.append(dict(spp=spp, rmse_plain=round(r_off, 4),
                          rmse_restir=round(r_on, 4),
-                         gain=round(r_off / max(r_on, 1e-9), 3)))
+                         gain=round(r_off / max(r_on, 1e-9), 3),
+                         wall_plain_s=round(t_off, 2),
+                         wall_restir_s=round(t_on, 2),
+                         equal_time_gain=round(float(eq_time_gain), 3)))
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps(dict(scene=args.scene, res=args.res,
                           ref_spp=args.ref_spp, rows=rows)))
