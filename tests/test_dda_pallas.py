@@ -375,6 +375,40 @@ def test_resolve_inc_matches_reference_form():
                                           np.asarray(inc.color_word)[h])
 
 
+def test_resolve_chain_matches_single():
+    """resolve_chain=2 (chase the ray into the next occupied cell within
+    one fetch round) replays exactly what the next fetch round would have
+    done from the same state — bitwise identical results."""
+    res = 32
+    world, tables, pyr, arrays = make_setup(res, 0.10, 31)
+    rng = np.random.default_rng(41)
+    n = 4096
+    o = rng.uniform(-res * 0.5, res * 1.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    for kw in (dict(),
+               dict(any_hit=True, fetch_colors=False),
+               dict(queue_depth=4, refill_every=2, march_unroll=2,
+                    fetch_cadence=1, resolve_inc=True)):
+        one = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
+                              1e-6, np.inf, res, interpret=True,
+                              resolve_chain=1, **kw)
+        two = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
+                              1e-6, np.inf, res, interpret=True,
+                              resolve_chain=2, **kw)
+        np.testing.assert_array_equal(np.asarray(one.distance),
+                                      np.asarray(two.distance),
+                                      err_msg=f"kw={kw}")
+        if not kw.get("any_hit"):
+            np.testing.assert_array_equal(np.asarray(one.ipos),
+                                          np.asarray(two.ipos))
+            np.testing.assert_array_equal(np.asarray(one.normal),
+                                          np.asarray(two.normal))
+            np.testing.assert_array_equal(np.asarray(one.color_word),
+                                          np.asarray(two.color_word))
+
+
 def test_queued_alive_skip_matches_plain():
     """alive= (per-slot dead-entry skip): queued traces must equal the
     plain kernel on every ALIVE lane and return the canonical miss

@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--resolve-steps", type=int, default=9,
                     help="in-cell DDA unroll length (resumable; 9 = whole "
                          "cell in one fetch)")
+    ap.add_argument("--resolve-chain", type=int, default=1,
+                    help="cells resolved per fetch round (2 = chase the "
+                         "ray into the next occupied cell in-round)")
     ap.add_argument("--resolve-inc", action="store_true",
                     help="incremental (Amanatides-Woo accumulator) in-cell "
                          "DDA instead of the recompute-from-t form")
@@ -222,6 +225,7 @@ def main():
                     mixed_scan=args.mixed_scan,
                     resolve_steps=args.resolve_steps,
                     resolve_inc=args.resolve_inc,
+                    resolve_chain=args.resolve_chain,
                     queue_depth=args.queue, refill_every=args.refill,
                     march_unroll=args.unroll,
                     fetch_cadence=cadence, interpret=args.interpret,

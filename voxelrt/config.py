@@ -179,6 +179,13 @@ class RenderConfig:
     # in more steps — the resolve is resumable either way, results exact).
     dda_resolve_steps: int = 9
 
+    # Cells resolved per fetch round: at 2, a ray exiting its 4-cubed cell
+    # into another occupied cell resolves it in the SAME round (fresh rank
+    # gather + mask fetch) instead of paying a march iteration between
+    # fetches - surface-crawling rays (interiors) otherwise alternate
+    # fetch/stall. Results bitwise identical (dda_pallas.py).
+    dda_resolve_chain: int = 1
+
     # In-cell DDA form: incremental Amanatides-Woo accumulators (True)
     # halve the per-step ALU of the reference's recompute-from-t advance;
     # hit distances move only at the ulp level (dda_pallas.py resolve).

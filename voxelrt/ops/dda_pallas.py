@@ -282,7 +282,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      n_dist4_words=0, use_dist4=False, use_palette=False,
                      use_xslab=True, fetch_cadence=2,
                      resolve_steps=CELL_RESOLVE_STEPS, resolve_inc=False,
-                     static_trange=None,
+                     resolve_chain=1, static_trange=None,
                      queue_depth=1, refill_every=4, nee_mode=False,
                      march_unroll=1, sun_mode="all",
                      march_group=1, n_lod2g_words=0,
@@ -680,7 +680,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                 mask_lo = jnp.where(cell_occ, mask_lo, 0)
                 mask_hi = jnp.where(cell_occ, mask_hi, 0)
 
-            # In-register single-voxel DDA across the fetched 4³ cell: the
+            # In-register single-voxel DDA across a fetched 4³ cell: the
             # entry voxel is tested, then ≤resolve_steps watertight unit
             # advances (9 = the longest monotone voxel path through a 4³
             # box) — all lanes run the unroll; non-resolving lanes are
@@ -689,91 +689,131 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             # at_occ next iteration and continues from a fresh mask fetch,
             # so shorter unrolls trade rare re-fetches for a cheaper
             # every-fetch step count.
-            cbx = ((px >> 2) << 2)
-            cby = ((py >> 2) << 2)
-            cbz = ((pz >> 2) << 2)
-            rt, rpx, rpy, rpz = t, px, py, pz
-            rnx, rny, rnz = s_nx, s_ny, s_nz
-            rhit = jnp.zeros(px.shape, jnp.bool_)
-            steps = jnp.zeros(px.shape, jnp.int32)
-            moving = at_occ
-            if resolve_inc:
-                # Incremental Amanatides–Woo accumulators: per-axis absolute
-                # t of the NEXT voxel-face crossing, initialized once per
-                # fetch and advanced by the (unit-cell) tDelta = inv each
-                # step — ~half the per-step ALU of the recompute-from-t
-                # form. Accumulation changes hit distances only at the ulp
-                # level over the ≤10 in-cell steps (vs the reference's
-                # recompute, raytracer.py:124-147); the portable-DDA
-                # equivalence tests compare at 1e-2.
-                fx0 = ox + dx * rt - rpx.astype(jnp.float32)
-                fy0 = oy + dy * rt - rpy.astype(jnp.float32)
-                fz0 = oz + dz * rt - rpz.astype(jnp.float32)
-                tmx = jnp.where(dx == 0.0, BIG,
-                                rt + jnp.where(dx > 0.0, 1.0 - fx0, fx0) * inv_x)
-                tmy = jnp.where(dy == 0.0, BIG,
-                                rt + jnp.where(dy > 0.0, 1.0 - fy0, fy0) * inv_y)
-                tmz = jnp.where(dz == 0.0, BIG,
-                                rt + jnp.where(dz > 0.0, 1.0 - fz0, fz0) * inv_z)
-            for step in range(resolve_steps + 1):
-                local = ((rpz & 3) * 4 + (rpy & 3)) * 4 + (rpx & 3)
-                mword = jnp.where(local < 32, mask_lo, mask_hi)
-                occ0 = ((mword >> (local & 31)) & 1) != 0
-                hit_now = moving & occ0 & (rt <= far)
-                rhit = rhit | hit_now
-                moving = moving & ~hit_now & (rt <= far)
-                if step == resolve_steps:
-                    break
-                # unit-cell watertight advance (cs = 1 ⇒ the reconstructed
-                # in-cell coordinate is always 0: new voxel = p + exit axis)
+            def cell_dda(moving, mask_lo, mask_hi, rt, rpx, rpy, rpz,
+                         rnx, rny, rnz, rhit, steps):
+                cbx = ((rpx >> 2) << 2)
+                cby = ((rpy >> 2) << 2)
+                cbz = ((rpz >> 2) << 2)
                 if resolve_inc:
-                    mint_abs = jnp.maximum(
-                        jnp.minimum(jnp.minimum(tmx, tmy), tmz), rt)
-                    ax = tmx == mint_abs
-                    ay = tmy == mint_abs
-                    az = tmz == mint_abs
-                    anx = ax.astype(jnp.float32) * sx
-                    any_ = ay.astype(jnp.float32) * sy
-                    anz = az.astype(jnp.float32) * sz
-                    npx = rpx + anx.astype(jnp.int32)
-                    npy = rpy + any_.astype(jnp.int32)
-                    npz = rpz + anz.astype(jnp.int32)
-                    rt = jnp.where(moving, mint_abs, rt)
-                    tmx = jnp.where(moving & ax, tmx + inv_x, tmx)
-                    tmy = jnp.where(moving & ay, tmy + inv_y, tmy)
-                    tmz = jnp.where(moving & az, tmz + inv_z, tmz)
-                else:
-                    fx = ox + dx * rt - rpx.astype(jnp.float32)
-                    fy = oy + dy * rt - rpy.astype(jnp.float32)
-                    fz = oz + dz * rt - rpz.astype(jnp.float32)
-                    dxx = jnp.where(dx > 0.0, 1.0 - fx, fx)
-                    dyy = jnp.where(dy > 0.0, 1.0 - fy, fy)
-                    dzz = jnp.where(dz > 0.0, 1.0 - fz, fz)
-                    txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
-                    tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
-                    tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
-                    mint = jnp.maximum(
-                        jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
-                    anx = (txx == mint).astype(jnp.float32) * sx
-                    any_ = (tyy == mint).astype(jnp.float32) * sy
-                    anz = (tzz == mint).astype(jnp.float32) * sz
-                    npx = rpx + anx.astype(jnp.int32)
-                    npy = rpy + any_.astype(jnp.int32)
-                    npz = rpz + anz.astype(jnp.int32)
-                    rt = jnp.where(moving, rt + mint, rt)
-                rpx = jnp.where(moving, npx, rpx)
-                rpy = jnp.where(moving, npy, rpy)
-                rpz = jnp.where(moving, npz, rpz)
-                if not any_hit:
-                    rnx = jnp.where(moving, anx, rnx)
-                    rny = jnp.where(moving, any_, rny)
-                    rnz = jnp.where(moving, anz, rnz)
-                steps = steps + moving.astype(jnp.int32)
-                exited = (
-                    ((rpx >> 2) << 2 != cbx) | ((rpy >> 2) << 2 != cby)
-                    | ((rpz >> 2) << 2 != cbz)
+                    # Incremental Amanatides–Woo accumulators: per-axis
+                    # absolute t of the NEXT voxel-face crossing,
+                    # initialized once per fetch and advanced by the
+                    # (unit-cell) tDelta = inv each step — ~half the
+                    # per-step ALU of the recompute-from-t form.
+                    # Accumulation changes hit distances only at the ulp
+                    # level over the ≤10 in-cell steps (vs the reference's
+                    # recompute, raytracer.py:124-147); the portable-DDA
+                    # equivalence tests compare at 1e-2.
+                    fx0 = ox + dx * rt - rpx.astype(jnp.float32)
+                    fy0 = oy + dy * rt - rpy.astype(jnp.float32)
+                    fz0 = oz + dz * rt - rpz.astype(jnp.float32)
+                    tmx = jnp.where(
+                        dx == 0.0, BIG,
+                        rt + jnp.where(dx > 0.0, 1.0 - fx0, fx0) * inv_x)
+                    tmy = jnp.where(
+                        dy == 0.0, BIG,
+                        rt + jnp.where(dy > 0.0, 1.0 - fy0, fy0) * inv_y)
+                    tmz = jnp.where(
+                        dz == 0.0, BIG,
+                        rt + jnp.where(dz > 0.0, 1.0 - fz0, fz0) * inv_z)
+                for step in range(resolve_steps + 1):
+                    local = ((rpz & 3) * 4 + (rpy & 3)) * 4 + (rpx & 3)
+                    mword = jnp.where(local < 32, mask_lo, mask_hi)
+                    occ0 = ((mword >> (local & 31)) & 1) != 0
+                    hit_now = moving & occ0 & (rt <= far)
+                    rhit = rhit | hit_now
+                    moving = moving & ~hit_now & (rt <= far)
+                    if step == resolve_steps:
+                        break
+                    # unit-cell watertight advance (cs = 1 ⇒ the
+                    # reconstructed in-cell coordinate is always 0:
+                    # new voxel = p + exit axis)
+                    if resolve_inc:
+                        mint_abs = jnp.maximum(
+                            jnp.minimum(jnp.minimum(tmx, tmy), tmz), rt)
+                        ax = tmx == mint_abs
+                        ay = tmy == mint_abs
+                        az = tmz == mint_abs
+                        anx = ax.astype(jnp.float32) * sx
+                        any_ = ay.astype(jnp.float32) * sy
+                        anz = az.astype(jnp.float32) * sz
+                        npx = rpx + anx.astype(jnp.int32)
+                        npy = rpy + any_.astype(jnp.int32)
+                        npz = rpz + anz.astype(jnp.int32)
+                        rt = jnp.where(moving, mint_abs, rt)
+                        tmx = jnp.where(moving & ax, tmx + inv_x, tmx)
+                        tmy = jnp.where(moving & ay, tmy + inv_y, tmy)
+                        tmz = jnp.where(moving & az, tmz + inv_z, tmz)
+                    else:
+                        fx = ox + dx * rt - rpx.astype(jnp.float32)
+                        fy = oy + dy * rt - rpy.astype(jnp.float32)
+                        fz = oz + dz * rt - rpz.astype(jnp.float32)
+                        dxx = jnp.where(dx > 0.0, 1.0 - fx, fx)
+                        dyy = jnp.where(dy > 0.0, 1.0 - fy, fy)
+                        dzz = jnp.where(dz > 0.0, 1.0 - fz, fz)
+                        txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
+                        tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
+                        tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
+                        mint = jnp.maximum(
+                            jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
+                        anx = (txx == mint).astype(jnp.float32) * sx
+                        any_ = (tyy == mint).astype(jnp.float32) * sy
+                        anz = (tzz == mint).astype(jnp.float32) * sz
+                        npx = rpx + anx.astype(jnp.int32)
+                        npy = rpy + any_.astype(jnp.int32)
+                        npz = rpz + anz.astype(jnp.int32)
+                        rt = jnp.where(moving, rt + mint, rt)
+                    rpx = jnp.where(moving, npx, rpx)
+                    rpy = jnp.where(moving, npy, rpy)
+                    rpz = jnp.where(moving, npz, rpz)
+                    if not any_hit:
+                        rnx = jnp.where(moving, anx, rnx)
+                        rny = jnp.where(moving, any_, rny)
+                        rnz = jnp.where(moving, anz, rnz)
+                    steps = steps + moving.astype(jnp.int32)
+                    exited = (
+                        ((rpx >> 2) << 2 != cbx) | ((rpy >> 2) << 2 != cby)
+                        | ((rpz >> 2) << 2 != cbz)
+                    )
+                    moving = moving & ~exited
+                return rt, rpx, rpy, rpz, rnx, rny, rnz, rhit, steps
+
+            st = cell_dda(at_occ, mask_lo, mask_hi, t, px, py, pz,
+                          s_nx, s_ny, s_nz,
+                          jnp.zeros(px.shape, jnp.bool_),
+                          jnp.zeros(px.shape, jnp.int32))
+            # ``resolve_chain`` > 1: a ray that exits its cell into ANOTHER
+            # occupied cell resolves that cell in the SAME fetch round
+            # (fresh rank gather + mask fetch) instead of paying a full
+            # march iteration between the two fetches — surface-crawling
+            # rays (enclosed interiors) otherwise alternate fetch/stall.
+            # Chains replay exactly what the next fetch round would have
+            # done from the same state, so results are bitwise identical.
+            active_c = at_occ
+            for _chain in range(resolve_chain - 1):
+                rt, rpx, rpy, rpz, rnx, rny, rnz, rhit, steps = st
+                inb_c = (
+                    (rpx >= 0) & (rpx < res) & (rpy >= 0) & (rpy < res)
+                    & (rpz >= 0) & (rpz < res)
                 )
-                moving = moving & ~exited
+                cell_c = ((rpz >> 2) * r2 + (rpy >> 2)) * r2 + (rpx >> 2)
+                cw_c = cell_c >> 5
+                cb_c = cell_c & 31
+                ws_c, base_c, w2_c = _gather_words3(
+                    solid_ref, rankb_ref, lod2_ref, cw_c, n_lod2_words)
+                occ_c = ((w2_c >> cb_c) & 1) != 0
+                cont = active_c & ~rhit & (rt <= far) & inb_c & occ_c
+                solid_c = ((ws_c >> cb_c) & 1) != 0
+                below_c = (w2_c & ~ws_c) & ((1 << cb_c) - 1)
+                rank_c = base_c + _popcount32(below_c)
+                mlo_c, mhi_c = _gather_words2(mlo_ref, mhi_ref, rank_c,
+                                              n_mixed_rows * LANES)
+                mlo_c = jnp.where(solid_c, jnp.int32(-1), mlo_c)
+                mhi_c = jnp.where(solid_c, jnp.int32(-1), mhi_c)
+                st = cell_dda(cont, mlo_c, mhi_c, rt, rpx, rpy, rpz,
+                              rnx, rny, rnz, rhit, steps)
+                active_c = cont
+            rt, rpx, rpy, rpz, rnx, rny, rnz, rhit, steps = st
             return rt, rpx, rpy, rpz, rnx, rny, rnz, \
                 rhit.astype(jnp.int32), steps
 
@@ -1236,9 +1276,9 @@ class PallasTraceResult(NamedTuple):
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
                      "interpret", "fetch_cadence", "debug_totals",
                      "block_rows", "use_sun_open", "use_xslab", "use_dist4",
-                     "resolve_steps", "resolve_inc", "queue_depth",
-                     "refill_every", "march_unroll", "sun_mode",
-                     "march_group", "mixed_scan"),
+                     "resolve_steps", "resolve_inc", "resolve_chain",
+                     "queue_depth", "refill_every", "march_unroll",
+                     "sun_mode", "march_group", "mixed_scan"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -1249,7 +1289,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     use_sun_open: bool = False, use_xslab: bool = True,
                     use_dist4: bool | None = None,
                     resolve_steps: int = CELL_RESOLVE_STEPS,
-                    resolve_inc: bool = False,
+                    resolve_inc: bool = False, resolve_chain: int = 1,
                     queue_depth: int = 1, refill_every: int = 4,
                     march_unroll: int = 1, sun_mode: str = "all",
                     march_group: int = 1, mixed_scan: str = "full",
@@ -1312,7 +1352,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     # Candidate-B soundness: one LOD2 word must span a full X-row of cells.
     assert 32 % (grid_res // 4) == 0, grid_res
     # adv occupies 16 bits of the packed per-ray loop state.
-    assert max_advances + CELL_RESOLVE_STEPS < (1 << 16), max_advances
+    assert max_advances + resolve_chain * CELL_RESOLVE_STEPS < (1 << 16), \
+        max_advances
     nee_mode = nee is not None
     if nee_mode:
         assert not any_hit and fetch_colors and not use_sun_open
@@ -1510,7 +1551,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         use_dist4=use_dist4, use_palette=use_palette,
         use_xslab=use_xslab, fetch_cadence=fetch_cadence,
         resolve_steps=resolve_steps, resolve_inc=resolve_inc,
-        static_trange=static_trange,
+        resolve_chain=resolve_chain, static_trange=static_trange,
         queue_depth=queue_depth, refill_every=refill_every,
         nee_mode=nee_mode, march_unroll=march_unroll, sun_mode=sun_mode,
         march_group=march_group, n_lod2g_words=n_lod2g_words,

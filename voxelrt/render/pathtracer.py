@@ -391,6 +391,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 march_group=cfg.dda_march_group,
                 resolve_steps=cfg.dda_resolve_steps,
                 resolve_inc=cfg.dda_resolve_inc,
+                resolve_chain=cfg.dda_resolve_chain,
                 mixed_scan=cfg.dda_mixed_scan,
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
