@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--out", default=None, help="write the final frame PNG")
     ap.add_argument("--cfg", nargs="*", default=[],
                     help="config overrides, e.g. motion_filter=catmullrom")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="throughput mode: enqueue frames asynchronously and "
+                         "sync once per phase (a real viewer fetches frames "
+                         "out of band, so the per-frame device round-trip in "
+                         "the default latency mode is tunnel overhead, not "
+                         "render cost)")
     args = ap.parse_args()
     w, h = (int(x) for x in args.res.split("x"))
 
@@ -64,6 +70,43 @@ def main():
     scene.config = dataclasses.replace(
         scene.config, image_res=(w, h), use_restir_pt=args.restir, **over
     )
+
+    if args.pipelined:
+        # Throughput mode: each accumulate_n enqueues asynchronously (JAX
+        # dispatch is async; state buffers chain on-device), so a viewer
+        # that fetches frames out of band runs at COMPUTE throughput, not
+        # at the per-frame host round-trip latency the default mode
+        # measures (~34 ms fixed on this tunneled platform, PERF_NOTES.md).
+        # One scalar sync per phase; the phase-transition framebuffer
+        # reset between the split run_frames calls is elided (it is a
+        # cheap zero-fill; per-frame FLOPs are identical either way).
+        from voxelrt.utils.profiling import sync
+
+        mv = {"orbit": (0.01, 0.002), "move_keys": ["w"], "dt": 0.02}
+        st = {"dt": 0.02}
+        scene.run_frames([mv] * 3 + [st] * 3, spp_per_frame=1,
+                         fetch_final=False)  # compile both phases
+        sync(scene.renderer.state.color)
+        t0 = time.perf_counter()
+        scene.run_frames([dict(mv)] * args.frames, spp_per_frame=1,
+                         fetch_final=False)
+        sync(scene.renderer.state.color)
+        t1 = time.perf_counter()
+        n_still = max(4, args.frames // 4)
+        scene.run_frames([dict(st)] * n_still, spp_per_frame=1,
+                         fetch_final=False)
+        sync(scene.renderer.state.color)
+        t2 = time.perf_counter()
+        print(json.dumps({
+            "metric": "camera_path_throughput_ms_per_frame",
+            "value": round((t1 - t0) / args.frames * 1e3, 2),
+            "unit": "ms",
+            "still_ms_per_frame": round((t2 - t1) / n_still * 1e3, 2),
+            "restir": args.restir,
+            "res": args.res,
+            "frames": args.frames + n_still,
+        }))
+        return
 
     # Orbit + dolly path, then hold still to accumulate.
     frames = []

@@ -259,13 +259,17 @@ class HeadlessRenderer:
 
     # -- interactive-equivalent loop -----------------------------------------
 
-    def run_frames(self, frames, spp_per_frame=1, on_frame=None, stats=None):
+    def run_frames(self, frames, spp_per_frame=1, on_frame=None, stats=None,
+                   fetch_final=True):
         """Scripted camera-path loop with the reference's motion policy
         (scene.py:206-256): while moving → render_scale 0.5, history cap 50;
         transitions reset the framebuffer. ``stats``: optional
         :class:`voxelrt.utils.profiling.FrameStats` receiving one row per
         frame (the structured replacement for the reference's per-frame
-        prints, scene.py:257,274-278)."""
+        prints, scene.py:257,274-278). ``fetch_final=False`` skips the
+        final full-image device_get (pipelined throughput benches sync on a
+        scalar instead; the display fetch is a transport cost, not a render
+        one)."""
         camera_is_moving = False
         img = None
         last_t = time.perf_counter()
@@ -313,6 +317,6 @@ class HeadlessRenderer:
             if on_frame is not None:
                 img = self.fetch_image(render_scale)
                 on_frame(i, img)
-        if on_frame is None:
+        if on_frame is None and fetch_final:
             img = self.fetch_image(1.0 if not camera_is_moving else 0.5)
         return img

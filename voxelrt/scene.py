@@ -180,7 +180,8 @@ class Scene:
                 print(f"Image written to {out_path}")
         return img
 
-    def run_frames(self, frames, spp_per_frame=1, on_frame=None, stats=None):
+    def run_frames(self, frames, spp_per_frame=1, on_frame=None, stats=None,
+                   fetch_final=True):
         """Interactive-equivalent loop with a scripted camera path
         (replaces the GGUI while-loop, scene.py:206-297).
 
@@ -188,8 +189,10 @@ class Scene:
         (WASDQE characters), ``orbit`` (dx, dy), ``dt``. Motion triggers the
         reference's degradation policy: render_scale 0.5 + 50-frame history
         cap while moving, framebuffer reset on transitions
-        (scene.py:209-228). Returns the last LDR image."""
+        (scene.py:209-228). Returns the last LDR image (None when
+        ``fetch_final=False`` — async throughput loops sync elsewhere)."""
         r = self.renderer
         r.prepare_data()
         return r.run_frames(frames, spp_per_frame=spp_per_frame,
-                            on_frame=on_frame, stats=stats)
+                            on_frame=on_frame, stats=stats,
+                            fetch_final=fetch_final)
