@@ -683,3 +683,102 @@ def test_sun_open_kernel_matches_plain_shadow():
     assert int(np.asarray(fast.iters)[~hf].sum()) < int(
         np.asarray(plain.iters)[~hp].sum()
     )
+
+
+def test_solid_retire_matches_plain():
+    """solid_retire (in-march retirement at fully-SOLID cells) is a pure
+    scheduling optimization: a ray entering a solid cell hits its entry
+    voxel at step 0 with its current (t, position, face normal), so
+    retiring it in the march must be bitwise identical to stalling into a
+    fetch round — in closest-hit, any-hit and in-kernel NEE modes, across
+    queue/unroll/sun_mode combos."""
+    import math
+
+    from voxelrt.ops.accel import add_sun_open_table, build_pallas_tables
+    from voxelrt.ops.sampling import make_orthonormal_basis
+
+    res = 32
+    rng = np.random.default_rng(21)
+    world = VoxelWorld(1.0 / res, res, 0.0)
+    mat = (rng.random((res,) * 3) < 0.05).astype(np.int8)
+    # solid regions aligned to 4³ cells (a ground slab + a box) so rays
+    # actually enter fully-solid cells from empty space
+    mat[:, 0:4, :] = 1
+    mat[8:16, 8:20, 8:16] = 1
+    world.material = mat
+    world.color = rng.integers(0, 255, (res, res, res, 3), dtype=np.uint8)
+    arrays = world.device_arrays()
+    tables = build_pallas_tables(mat, np.asarray(arrays["voxels"]), res)
+    assert int(np.asarray(tables.solid_words).astype(np.uint32).sum()) != 0
+    L = np.array([1.0, 1.0, -1.0])
+    L /= np.linalg.norm(L)
+    cone_cos = math.cos(0.025 * 0.5)
+    tables = add_sun_open_table(tables, mat, L, cone_cos)
+
+    n = 4096
+    o = rng.uniform(0, res, (n, 3)).astype(np.float32)
+    # bias some origins above the slab shooting down (guaranteed solid
+    # entries)
+    o[: n // 4, 1] = rng.uniform(8, res, n // 4)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[: n // 4, 1] -= 1.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    alive = rng.random(n) < 0.7
+    tmax = np.where(alive, np.inf, 0.0).astype(np.float32)
+
+    fields = ("distance", "ipos", "normal", "color_word", "iters", "active")
+
+    def run(solid_retire, **kw):
+        return raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                               jnp.asarray(tmax), res, interpret=True,
+                               solid_retire=solid_retire, **kw)
+
+    # plain (non-queued) closest hit
+    a = run(False)
+    b = run(True)
+    for f in fields:
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)),
+                                      err_msg=f"plain {f}")
+    # the feature must actually retire rays earlier (fewer stall iters is
+    # not observable per-ray, but hits must exist on solid entries)
+    assert np.isfinite(np.asarray(b.distance)).sum() > n // 8
+
+    # queued + unroll + alive mask
+    kw = dict(queue_depth=4, refill_every=2, march_unroll=2,
+              fetch_cadence=1, alive=jnp.asarray(alive))
+    a = run(False, **kw)
+    b = run(True, **kw)
+    for f in fields:
+        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                      np.asarray(getattr(b, f)),
+                                      err_msg=f"queued {f}")
+
+    # any-hit (shadow) mode
+    kw = dict(any_hit=True, fetch_colors=False, queue_depth=4,
+              refill_every=2, march_unroll=2, fetch_cadence=1,
+              alive=jnp.asarray(alive))
+    a = run(False, **kw)
+    b = run(True, **kw)
+    np.testing.assert_array_equal(np.asarray(a.distance),
+                                  np.asarray(b.distance))
+
+    # in-kernel NEE across sun modes
+    u = rng.random((n, 2)).astype(np.float32)
+    alt = np.full(n, np.inf, np.float32)
+    Lj = jnp.asarray(L, jnp.float32)
+    X, Y = make_orthonormal_basis(Lj)
+    nee = dict(u=jnp.asarray(u), alt_t=jnp.asarray(alt), light_dir=Lj,
+               tangent=X, bitangent=Y, cone_cos=cone_cos,
+               eps_grid=1e-4 * 16.0, shadow_tmin=1e-4)
+    for sm in ("all", "half", "off"):
+        kw = dict(queue_depth=4, refill_every=2, march_unroll=2,
+                  fetch_cadence=1, nee=nee, sun_mode=sm,
+                  alive=jnp.asarray(alive))
+        a = run(False, **kw)
+        b = run(True, **kw)
+        for f in ("distance", "ipos", "normal", "color_word",
+                  "nee_visible"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                err_msg=f"nee sun_mode={sm} {f}")

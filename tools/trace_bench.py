@@ -92,6 +92,9 @@ def main():
     ap.add_argument("--sun", action="store_true",
                     help="bake the sun-open table and bench shadow rays "
                          "with the use_sun_open early-out")
+    ap.add_argument("--solid-retire", action="store_true",
+                    help="retire rays entering fully-solid cells in the "
+                         "march (no fetch round)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -226,6 +229,7 @@ def main():
                     resolve_steps=args.resolve_steps,
                     resolve_inc=args.resolve_inc,
                     resolve_chain=args.resolve_chain,
+                    solid_retire=args.solid_retire,
                     queue_depth=args.queue, refill_every=args.refill,
                     march_unroll=args.unroll,
                     fetch_cadence=cadence, interpret=args.interpret,

@@ -191,6 +191,18 @@ class RenderConfig:
     # hit distances move only at the ulp level (dda_pallas.py resolve).
     dda_resolve_inc: bool = True
 
+    # In-march retirement at fully-SOLID cells: a ray entering one hits its
+    # entry voxel at step 0 with its current (t, pos, face normal), so the
+    # march retires it directly (the solid bit rides the occupancy gather
+    # as a triple scan) instead of stalling it into a fetch round. Results
+    # bitwise identical (dda_pallas.py). Measured a uniform 4-9% kernel
+    # LOSS even on the best-case example6 (32% of exposed faces solid):
+    # lock-step blocks pace on their slowest lane, so early per-ray
+    # retirement saves nothing while the extra gather costs every advance
+    # (PERF_NOTES round-4 session 3). 'auto' therefore resolves to 'off';
+    # 'on' stays selectable for solid-entry-dominated scene classes.
+    dda_solid_retire: str = "auto"  # 'auto' | 'on' | 'off'
+
     # Escape-sky fetch estimator: 'stochastic' picks ONE bilinear corner
     # per sample with probability equal to its bilinear weight — unbiased
     # (the fetch is linear in texel values) and the same per-sample dither

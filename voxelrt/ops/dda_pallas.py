@@ -287,7 +287,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      march_unroll=1, sun_mode="all",
                      march_group=1, n_lod2g_words=0,
                      slow_after=48, debug_totals=False, resume=False,
-                     mixed_scan="full"):
+                     mixed_scan="full", solid_retire=False):
     C = queue_depth
     queued = C > 1 or nee_mode
     if static_trange is None:
@@ -612,17 +612,39 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             # unrolled segments (halving the dual-gather cost; retirement
             # delayed ≤1 advance, outputs identical), 'off' disables the
             # early-out (pure A/B knob — shadow rays march to escape).
-            w2, wsun = _gather_words2(occ_tab, sun_tab, ow, occ_n)
+            if solid_retire:
+                w2, wsun, wsol = _gather_words3(occ_tab, sun_tab, solid_ref,
+                                                ow, occ_n)
+            else:
+                w2, wsun = _gather_words2(occ_tab, sun_tab, ow, occ_n)
             sun_esc = ((wsun >> ob) & 1) != 0
             if nee_mode:
                 sun_esc = sun_esc & (s_phase != 0)
             miss = miss | (live & inb & sun_esc)
             live = active & ~miss
             occ2 = ((w2 >> ob) & 1) != 0
+        elif solid_retire:
+            w2, wsol = _gather_words2(occ_tab, solid_ref, ow, occ_n)
+            occ2 = ((w2 >> ob) & 1) != 0
         else:
             w2 = _gather_words(occ_tab, ow, occ_n)
             occ2 = ((w2 >> ob) & 1) != 0
-        at_occ = live & occ2
+        if solid_retire:
+            # ``solid_retire``: a ray ENTERING a fully-SOLID cell hits its
+            # entry voxel at step 0 with its current (t, position, face
+            # normal) — exactly what the fetch round's cell_dda would
+            # produce from the implicit all-ones mask — so retire it in the
+            # march itself: no stall, no fetch round, no mixed-mask scan.
+            # The solid bit rides the occupancy gather (a triple scan);
+            # only MIXED-cell rays reach fetch rounds now. Outputs are
+            # bitwise identical (the fetch path would stall ≤cadence
+            # iterations, then resolve to the same values).
+            solid_here = ((wsol >> cb) & 1) != 0
+            hit_solid = live & occ2 & solid_here
+            at_occ = live & occ2 & ~solid_here
+        else:
+            hit_solid = None
+            at_occ = live & occ2
 
         # ONE packed max-reduce answers both questions (scalar-producing
         # reductions cost ~130 ns): 0 ⇒ no live rays (loop can stop),
@@ -957,6 +979,13 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         exhausted = live & (o_adv >= max_advances)
         o_exh = s_exh | (exhausted & (hit1 == 0)).astype(jnp.int32)
         o_act = live & (hit1 == 0) & ~exhausted
+        if solid_retire:
+            # solid-entry retirement: hit at the current (t, pos, normal),
+            # which the march/fetch merge above already leaves in place for
+            # non-marching lanes.
+            o_hit = o_hit | hit_solid.astype(jnp.int32)
+            o_exh = o_exh & ~hit_solid.astype(jnp.int32)
+            o_act = o_act & ~hit_solid
 
         # Extra march-only segments (``march_unroll`` > 1): advance the
         # marching rays again with fresh occupancy gathers, amortizing the
@@ -976,15 +1005,26 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             ow_u = (cell_u >> gsh) >> 5
             ob_u = (cell_u >> gsh) & 31
             if use_sun_open or (nee_mode and sun_mode != "off"):
-                w2_u, wsun_u = _gather_words2(occ_tab, sun_tab, ow_u, occ_n)
+                if solid_retire:
+                    w2_u, wsun_u, wsol_u = _gather_words3(
+                        occ_tab, sun_tab, solid_ref, ow_u, occ_n)
+                else:
+                    w2_u, wsun_u = _gather_words2(occ_tab, sun_tab, ow_u,
+                                                  occ_n)
                 sun_esc_u = ((wsun_u >> ob_u) & 1) != 0
                 if nee_mode:
                     sun_esc_u = sun_esc_u & (s_phase != 0)
                 miss_u = miss_u | (live_u & inb_u & sun_esc_u)
                 live_u = o_act & ~miss_u
+            elif solid_retire:
+                w2_u, wsol_u = _gather_words2(occ_tab, solid_ref, ow_u,
+                                              occ_n)
             else:
                 w2_u = _gather_words(occ_tab, ow_u, occ_n)
             occ2_u = ((w2_u >> ob_u) & 1) != 0
+            if solid_retire:
+                hit_solid_u = live_u & occ2_u & (((wsol_u >> ob_u) & 1) != 0)
+                o_hit = o_hit | hit_solid_u.astype(jnp.int32)
             march_u = live_u & ~occ2_u
             nat_u, napx_u, napy_u, napz_u, anx_u, any_u, anz_u = \
                 march_candidates(o_t, o_px, o_py, o_pz, w2_u)
@@ -1000,6 +1040,9 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             exhausted_u = live_u & (o_adv >= max_advances)
             o_exh = o_exh | exhausted_u.astype(jnp.int32)
             o_act = live_u & ~exhausted_u
+            if solid_retire:
+                o_exh = o_exh & ~hit_solid_u.astype(jnp.int32)
+                o_act = o_act & ~hit_solid_u
 
         out = dict(s)
         out["t"] = o_t
@@ -1278,7 +1321,8 @@ class PallasTraceResult(NamedTuple):
                      "block_rows", "use_sun_open", "use_xslab", "use_dist4",
                      "resolve_steps", "resolve_inc", "resolve_chain",
                      "queue_depth", "refill_every", "march_unroll",
-                     "sun_mode", "march_group", "mixed_scan"),
+                     "sun_mode", "march_group", "mixed_scan",
+                     "solid_retire"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -1293,6 +1337,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     queue_depth: int = 1, refill_every: int = 4,
                     march_unroll: int = 1, sun_mode: str = "all",
                     march_group: int = 1, mixed_scan: str = "full",
+                    solid_retire: bool = False,
                     nee=None, alive=None,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
@@ -1479,6 +1524,11 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     assert march_unroll == 1 or not use_dist4, (march_unroll, use_dist4)
     assert march_unroll >= 1, march_unroll
     assert mixed_scan in ("full", "span"), mixed_scan
+    # solid_retire's in-march retirement reads the exact solid table with
+    # the exact-LOD2 gather's index math; the grouped/dist4 march reads a
+    # different table at a different granularity.
+    assert not (solid_retire and (use_dist4 or march_group > 1)), (
+        solid_retire, use_dist4, march_group)
 
     r2 = grid_res // 4
     r3 = grid_res // 8
@@ -1556,6 +1606,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         nee_mode=nee_mode, march_unroll=march_unroll, sun_mode=sun_mode,
         march_group=march_group, n_lod2g_words=n_lod2g_words,
         debug_totals=debug_totals, resume=resume, mixed_scan=mixed_scan,
+        solid_retire=solid_retire,
     )
 
     nee_ins = [nee_scalars] if nee_mode else []

@@ -241,6 +241,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
         fetch_cadence=cfg.dda_fetch_cadence,
         mixed_scan=cfg.dda_mixed_scan,
         resolve_inc=cfg.dda_resolve_inc,
+        solid_retire=cfg.dda_solid_retire == "on",
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
     )
     if p1 and p1 < cfg.max_dda_advances:
@@ -263,6 +264,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
             fetch_cadence=cfg.dda_fetch_cadence,
             mixed_scan=cfg.dda_mixed_scan,
             resolve_inc=cfg.dda_resolve_inc,
+            solid_retire=cfg.dda_solid_retire == "on",
             interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
             resume_state=(tr.distance, tr.normal, tr.active),
         )
@@ -393,6 +395,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 resolve_inc=cfg.dda_resolve_inc,
                 resolve_chain=cfg.dda_resolve_chain,
                 mixed_scan=cfg.dda_mixed_scan,
+                solid_retire=cfg.dda_solid_retire == "on",
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
                 nee=nee,
