@@ -3,6 +3,8 @@ has none; its closest analogue is the resettable accumulation state,
 renderer/pathtracer.py:664-668). A resumed render must reproduce the
 uninterrupted image exactly."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -100,3 +102,21 @@ def test_framestats_rows_from_render_and_run_frames(tmp_path, tiny_setup):
     assert len(stats.rows) == 5
     with open(csv_path) as fh:
         assert len(fh.read().strip().splitlines()) == 6  # header + 5 rows
+
+
+def test_run_frames_sync_lag_records_every_frame(tiny_setup):
+    """sync_lag=1 (double-buffered frame sync) must still record one stats
+    row per frame, in dispatch order, with the same moving flags and
+    positive wall times as the synchronous path."""
+    cfg, world = tiny_setup
+    stats = FrameStats(out=open(os.devnull, "w"))
+    r = _renderer(cfg, world)
+    frames = [{"dt": 0.03, "move_keys": ["w"]}, {"dt": 0.03, "orbit": (0.01, 0.0)},
+              {"dt": 0.03}, {"dt": 0.03}]
+    img = r.run_frames(frames, spp_per_frame=1, stats=stats, sync_lag=1)
+    assert len(stats.rows) == 4
+    assert [row["moving"] for row in stats.rows] == [True, True, False, False]
+    assert [row["frame"] for row in stats.rows] == sorted(
+        row["frame"] for row in stats.rows)
+    assert all(row["wall_ms"] > 0 for row in stats.rows)
+    assert img is not None and np.isfinite(np.asarray(img)).all()

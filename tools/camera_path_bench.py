@@ -45,6 +45,11 @@ def main():
                          "out of band, so the per-frame device round-trip in "
                          "the default latency mode is tunnel overhead, not "
                          "render cost)")
+    ap.add_argument("--sync-lag", type=int, default=0,
+                    help="double-buffered latency mode: sync frame i-N "
+                         "after dispatching frame i (display one frame "
+                         "behind); wall_ms becomes time between frame "
+                         "completions")
     args = ap.parse_args()
     w, h = (int(x) for x in args.res.split("x"))
 
@@ -123,7 +128,8 @@ def main():
     from voxelrt.utils.profiling import FrameStats
 
     stats = FrameStats(out=open(os.devnull, "w"))
-    img = scene.run_frames(frames, spp_per_frame=1, stats=stats)
+    img = scene.run_frames(frames, spp_per_frame=1, stats=stats,
+                           sync_lag=args.sync_lag)
     times = [row["wall_ms"] / 1e3 for row in stats.rows]
     if args.out:
         from voxelrt.utils.image import write_png
@@ -142,6 +148,7 @@ def main():
         "restir": args.restir,
         "res": args.res,
         "frames": len(times),
+        "sync_lag": args.sync_lag,
         "final_mean": float(np.asarray(img).mean()),
     }))
 

@@ -270,7 +270,7 @@ class HeadlessRenderer:
     # -- interactive-equivalent loop -----------------------------------------
 
     def run_frames(self, frames, spp_per_frame=1, on_frame=None, stats=None,
-                   fetch_final=True):
+                   fetch_final=True, sync_lag=0):
         """Scripted camera-path loop with the reference's motion policy
         (scene.py:206-256): while moving → render_scale 0.5, history cap 50;
         transitions reset the framebuffer. ``stats``: optional
@@ -279,10 +279,33 @@ class HeadlessRenderer:
         prints, scene.py:257,274-278). ``fetch_final=False`` skips the
         final full-image device_get (pipelined throughput benches sync on a
         scalar instead; the display fetch is a transport cost, not a render
-        one)."""
+        one).
+
+        ``sync_lag=N`` (with ``stats``) syncs frame ``i-N`` after
+        dispatching frame ``i`` — classic double buffering (N=1): the
+        display is one frame behind while the tunnel round-trip of the
+        sync overlaps the next frame's compute. Recorded ``wall_ms`` is
+        then the time BETWEEN successive frame completions (sustained
+        latency), not dispatch-to-sync. Ignored when ``on_frame`` forces a
+        per-frame image fetch."""
         camera_is_moving = False
         img = None
         last_t = time.perf_counter()
+        pending = []  # (frame_idx, spp, n_rays, moving, probe)
+        last_sync_t = time.perf_counter()
+
+        def _drain(to_len):
+            nonlocal last_sync_t
+            import numpy as _np
+
+            while len(pending) > to_len:
+                fidx, n_spp, n_rays, mov, probe = pending.pop(0)
+                _np.asarray(jax.device_get(probe))
+                now = time.perf_counter()
+                stats.record(fidx, n_spp, (now - last_sync_t) * 1e3,
+                             n_rays=n_rays, quiet=self.quiet, moving=mov)
+                last_sync_t = now
+
         for i, frame in enumerate(frames):
             dt = frame.get("dt")
             if dt is None:
@@ -313,20 +336,34 @@ class HeadlessRenderer:
             self._frame += spp_per_frame
             self.copy_prev_matrices()
             if stats is not None:
-                from voxelrt.utils.profiling import sync
-
-                sync(self.state.color)
                 w, h = self.cfg.image_res
                 n_pix = int(w * render_scale) * int(h * render_scale)
-                stats.record(
-                    self._frame, spp_per_frame,
-                    (time.perf_counter() - tf0) * 1e3,
-                    n_rays=spp_per_frame * n_pix * 2 * self.cfg.max_ray_depth,
-                    quiet=self.quiet, moving=camera_is_moving,
-                )
+                n_rays = spp_per_frame * n_pix * 2 * self.cfg.max_ray_depth
+                if sync_lag > 0 and on_frame is None:
+                    # Probe = a fresh tiny array derived from this frame's
+                    # color (completes when the frame does). The state
+                    # buffers themselves are DONATED to the next dispatch,
+                    # so holding them across frames would sync a deleted
+                    # array.
+                    pending.append((self._frame, spp_per_frame, n_rays,
+                                    camera_is_moving,
+                                    self.state.color.ravel()[0]))
+                    _drain(sync_lag)
+                else:
+                    from voxelrt.utils.profiling import sync
+
+                    sync(self.state.color)
+                    stats.record(
+                        self._frame, spp_per_frame,
+                        (time.perf_counter() - tf0) * 1e3,
+                        n_rays=n_rays, quiet=self.quiet,
+                        moving=camera_is_moving,
+                    )
             if on_frame is not None:
                 img = self.fetch_image(render_scale)
                 on_frame(i, img)
+        if stats is not None and pending:
+            _drain(0)
         if on_frame is None and fetch_final:
             img = self.fetch_image(1.0 if not camera_is_moving else 0.5)
         return img

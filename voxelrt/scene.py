@@ -181,7 +181,7 @@ class Scene:
         return img
 
     def run_frames(self, frames, spp_per_frame=1, on_frame=None, stats=None,
-                   fetch_final=True):
+                   fetch_final=True, sync_lag=0):
         """Interactive-equivalent loop with a scripted camera path
         (replaces the GGUI while-loop, scene.py:206-297).
 
@@ -190,9 +190,11 @@ class Scene:
         reference's degradation policy: render_scale 0.5 + 50-frame history
         cap while moving, framebuffer reset on transitions
         (scene.py:209-228). Returns the last LDR image (None when
-        ``fetch_final=False`` — async throughput loops sync elsewhere)."""
+        ``fetch_final=False`` — async throughput loops sync elsewhere).
+        ``sync_lag=N`` double-buffers the per-frame sync (display N frames
+        behind; see HeadlessRenderer.run_frames)."""
         r = self.renderer
         r.prepare_data()
         return r.run_frames(frames, spp_per_frame=spp_per_frame,
                             on_frame=on_frame, stats=stats,
-                            fetch_final=fetch_final)
+                            fetch_final=fetch_final, sync_lag=sync_lag)
