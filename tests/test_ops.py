@@ -262,3 +262,55 @@ def test_stochastic_sky_rgb9e5_matches_bf16():
     err = np.abs(outs[True] - outs[False])
     rel = err / np.maximum(np.abs(outs[False]), 1e-4)
     assert rel.max() < 0.01  # both within quantization of the same texel
+
+
+def test_sliced_sky_route_sort_matches_global():
+    """sky_sort_sliced (per-sample-slice route/unroute sorts) is a pure
+    routing change: per-lane fetches are exact and each slice's unroute is
+    a permutation, so outputs must be BITWISE equal to the global sort —
+    with and without the transmittance payload, and at a wavefront length
+    not divisible by samples_per_launch (fallback to global)."""
+    from voxelrt.config import RenderConfig
+    from voxelrt.ops.texfetch import pack_rgb9e5, pack_rgb_bf16
+    from voxelrt.sky import atmos
+    from voxelrt.ops.v3 import V3
+
+    rng = np.random.default_rng(11)
+    res = 64
+    tex = (rng.uniform(0.2, 1.5, (res, res, 3)) ** 2).astype(np.float32)
+    sky = atmos.SkyData(
+        jnp.asarray(tex), jnp.asarray(tex), jnp.zeros(3),
+        jnp.zeros((256, 128, 3)),
+        packed_scatt=jnp.asarray(pack_rgb_bf16(tex)),
+        packed_trans=jnp.asarray(pack_rgb_bf16(tex)),
+        packed_scatt9=jnp.asarray(pack_rgb9e5(tex)),
+    )
+
+    for n, spl in ((4096, 4), (4096 + 128, 4)):
+        d = np.stack([np.random.default_rng(5).normal(size=n),
+                      np.abs(np.random.default_rng(6).normal(size=n)) + 0.1,
+                      np.random.default_rng(7).normal(size=n)], -1)
+        d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+        dv = V3(*(jnp.asarray(d[:, i]) for i in range(3)))
+        u3 = V3(*(jnp.asarray(
+            np.random.default_rng(8 + i).uniform(size=n).astype(np.float32))
+            for i in range(3)))
+        for want_trans in (False, True):
+            outs = {}
+            for sliced in (False, True):
+                cfg = RenderConfig(skybox_res=res, pallas_interpret=True,
+                                   samples_per_launch=spl,
+                                   sky_sort_sliced=sliced)
+                s, t = atmos._sample_skybox_stochastic(
+                    cfg, sky, dv, u3, scattered=True, want_trans=want_trans)
+                outs[sliced] = (s, t)
+            for c in "xyz":
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(outs[False][0], c)),
+                    np.asarray(getattr(outs[True][0], c)),
+                    err_msg=f"scatt.{c} n={n}")
+                if want_trans:
+                    np.testing.assert_array_equal(
+                        np.asarray(getattr(outs[False][1], c)),
+                        np.asarray(getattr(outs[True][1], c)),
+                        err_msg=f"trans.{c} n={n}")

@@ -238,6 +238,19 @@ class RenderConfig:
     # PERF_NOTES.md for the measured tradeoff.
     sky_route_sort: bool = True
 
+    # Slice the escape-sky route/unroute sorts per sample: the deferred
+    # wavefront is sample-major (samples_per_launch contiguous slices,
+    # pipeline.py), so sorting it as (k, n/k) rows costs log2(n/k)-squared
+    # bitonic passes instead of log2(n)-squared (~30% fewer at k=16) with
+    # bitwise-identical output (exact per-lane fetch; per-slice unroute is
+    # a permutation). Measured NEUTRAL-to-slightly-worse on v5e (32.20 →
+    # 32.37 ms/spp back-to-back on example6 — the fetch kernel's coarser
+    # per-slice texel clustering costs more slab rounds than the shorter
+    # sorts save; PERF_NOTES round-4 session 3), so the global sort stays
+    # the default; the sliced form remains an A/B knob for launch sizes
+    # where the global sort's passes dominate.
+    sky_sort_sliced: bool = False
+
     # Motion-phase reprojection backend: 'pallas' fuses the current-color
     # bilinear + gated history taps into one VMEM-resident kernel
     # (ops/resample.py — replaces ~30 full-image XLA gathers per moving

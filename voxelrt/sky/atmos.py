@@ -705,25 +705,49 @@ def _sample_skybox_stochastic(cfg, sky, d, u3, scattered, want_trans):
             n = tex.shape[0]
             BIG = jnp.int32(0x7FFFFFFF)
             key = jnp.where(finite, tex, BIG)
-            idx = jnp.arange(n, dtype=jnp.int32)
+            # Sliced route: the deferred escape wavefront is sample-major
+            # (k contiguous per-sample slices of the pixel grid,
+            # pipeline.py), so sorting it as (k, n/k) rows is a free
+            # reshape and each bitonic sort runs log2(n/k)-squared passes
+            # instead of log2(n)-squared (~30% fewer at k=16) on the same
+            # element count. Per-lane fetches stay exact and each slice's
+            # unroute is a permutation, so outputs are bitwise identical;
+            # only the fetch kernel's block clustering coarsens (a block's
+            # lanes now come from one slice — ~k-times fewer lanes per
+            # texel run), which the slab min-reduce absorbs.
+            S = max(1, cfg.samples_per_launch) if cfg.sky_sort_sliced else 1
+            if S > 1 and n % S == 0 and n // S >= 2:
+                m = n // S
+                shape2 = (S, m)
+                idx = jnp.broadcast_to(
+                    jnp.arange(m, dtype=jnp.int32)[None], shape2)
+            else:
+                m = n
+                shape2 = None
+                idx = jnp.arange(n, dtype=jnp.int32)
+            r2d = (lambda a: a.reshape(shape2)) if shape2 else (lambda a: a)
+            flat = (lambda a: a.reshape(-1)) if shape2 else (lambda a: a)
             # is_stable=False: stability costs an appended iota column in
             # the XLA TPU sort. The route key's duplicates (equal texels)
             # fetch identical words, and the unroute key sidx is a unique
-            # permutation, so unstable order is value-identical.
-            skey, sidx = jax.lax.sort([key, idx], num_keys=1,
+            # permutation (per slice), so unstable order is
+            # value-identical.
+            skey, sidx = jax.lax.sort([r2d(key), idx], num_keys=1,
                                       is_stable=False)
-            swid = jnp.where(skey == BIG, 0, skey)
+            swid = flat(jnp.where(skey == BIG, 0, skey))
             sw, decode = fetch_scatt(swid)
             if not want_trans:
-                unrouted = jax.lax.sort([sidx, *sw], num_keys=1,
-                                        is_stable=False)
-                return rgb(decode(*unrouted[1:])), None
+                unrouted = jax.lax.sort([sidx, *(r2d(w) for w in sw)],
+                                        num_keys=1, is_stable=False)
+                return rgb(decode(*(flat(w) for w in unrouted[1:]))), None
             t0, t1 = point_fetch_words(sky.packed_trans, swid * 2,
                                        interpret=cfg.pallas_interpret)
-            unrouted = jax.lax.sort([sidx, *sw, t0, t1], num_keys=1,
-                                    is_stable=False)
-            return (rgb(decode(*unrouted[1:-2])),
-                    rgb(unpack_words_rgb_soa(*unrouted[-2:])))
+            unrouted = jax.lax.sort(
+                [sidx, *(r2d(w) for w in sw), r2d(t0), r2d(t1)],
+                num_keys=1, is_stable=False)
+            return (rgb(decode(*(flat(w) for w in unrouted[1:-2]))),
+                    rgb(unpack_words_rgb_soa(*(flat(w)
+                                               for w in unrouted[-2:]))))
         sw, decode = fetch_scatt(tex)
         scatt = rgb(decode(*sw))
         if not want_trans:
