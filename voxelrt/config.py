@@ -243,13 +243,13 @@ class RenderConfig:
     # pipeline.py), so sorting it as (k, n/k) rows costs log2(n/k)-squared
     # bitonic passes instead of log2(n)-squared (~30% fewer at k=16) with
     # bitwise-identical output (exact per-lane fetch; per-slice unroute is
-    # a permutation). Measured NEUTRAL-to-slightly-worse on v5e (32.20 →
-    # 32.37 ms/spp back-to-back on example6 — the fetch kernel's coarser
+    # a permutation). Measured on v5e (PERF_NOTES round-4 session 3): a
+    # small LOSS at 720p×spl16 (14.7M lanes — the fetch kernel's coarser
     # per-slice texel clustering costs more slab rounds than the shorter
-    # sorts save; PERF_NOTES round-4 session 3), so the global sort stays
-    # the default; the sliced form remains an A/B knob for launch sizes
-    # where the global sort's passes dominate.
-    sky_sort_sliced: bool = False
+    # sorts save) but a WIN at 1080p×spl16 (33M lanes: 75.4 → 74.3 ms/spp)
+    # and at spl=32. 'auto' (default) slices when the wavefront exceeds
+    # 24M lanes; True/'on' and False/'off' force it.
+    sky_sort_sliced: object = "auto"  # 'auto' | True/'on' | False/'off'
 
     # Motion-phase reprojection backend: 'pallas' fuses the current-color
     # bilinear + gated history taps into one VMEM-resident kernel

@@ -715,7 +715,16 @@ def _sample_skybox_stochastic(cfg, sky, d, u3, scattered, want_trans):
             # only the fetch kernel's block clustering coarsens (a block's
             # lanes now come from one slice — ~k-times fewer lanes per
             # texel run), which the slab min-reduce absorbs.
-            S = max(1, cfg.samples_per_launch) if cfg.sky_sort_sliced else 1
+            mode = cfg.sky_sort_sliced
+            if mode == "auto":
+                # Wavefront length is a static shape, so the gate resolves
+                # at trace time: sliced only where the global sort's pass
+                # count dominates the fetch kernel's clustering loss
+                # (measured crossover between 14.7M and 33M lanes).
+                sliced = tex.shape[0] > 24_000_000
+            else:
+                sliced = mode not in (False, "off")
+            S = max(1, cfg.samples_per_launch) if sliced else 1
             if S > 1 and n % S == 0 and n // S >= 2:
                 m = n // S
                 shape2 = (S, m)
