@@ -782,3 +782,77 @@ def test_solid_retire_matches_plain():
             np.testing.assert_array_equal(
                 np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
                 err_msg=f"nee sun_mode={sm} {f}")
+
+
+def test_nee_src_open_matches_plain():
+    """nee_src_open (conversion-time sun-open retirement of in-kernel NEE
+    shadow rays) is a pure scheduling optimization: the sun-open
+    certificate guarantees the shadow march could only end 'visible', and
+    an AABB-missing shadow is 'visible' by the escape contract — so all
+    consumed outputs (primary hit fields + nee_visible) must be bitwise
+    identical, across queue depths, unrolls and sun modes."""
+    import math
+
+    from voxelrt.ops.accel import add_sun_open_table, build_pallas_tables
+    from voxelrt.ops.sampling import make_orthonormal_basis
+
+    res = 32
+    rng = np.random.default_rng(33)
+    world = VoxelWorld(1.0 / res, res, 0.0)
+    # ground slab + occluders confined to the lower half: cells in the
+    # open upper half carry the sun-open certificate (the random-scatter
+    # alternative defeats it — no cell-wide cone stays clear), while
+    # low surfaces still get occluded shadows
+    mat = (rng.random((res,) * 3) < 0.04).astype(np.int8)
+    mat[:, 10:, :] = 0
+    mat[:, 0:2, :] = 1
+    world.material = mat
+    world.color = rng.integers(0, 255, (res, res, res, 3), dtype=np.uint8)
+    arrays = world.device_arrays()
+    tables = build_pallas_tables(mat, np.asarray(arrays["voxels"]), res)
+    L = np.array([0.4, 1.0, 0.2])
+    L /= np.linalg.norm(L)
+    cone_cos = math.cos(0.025 * 0.5)
+    tables = add_sun_open_table(tables, mat, L, cone_cos)
+    assert int(np.asarray(tables.sun_open_words).astype(np.uint32).sum()) != 0
+
+    n = 4096
+    o = rng.uniform(0, res, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    alive = rng.random(n) < 0.8
+    tmax = np.where(alive, np.inf, 0.0).astype(np.float32)
+    u = rng.random((n, 2)).astype(np.float32)
+    # a mix of floor-crossing and pure-voxel NEE conversions
+    alt = np.where(rng.random(n) < 0.3,
+                   rng.uniform(1.0, 40.0, n), np.inf).astype(np.float32)
+    Lj = jnp.asarray(L, jnp.float32)
+    X, Y = make_orthonormal_basis(Lj)
+    nee = dict(u=jnp.asarray(u), alt_t=jnp.asarray(alt), light_dir=Lj,
+               tangent=X, bitangent=Y, cone_cos=cone_cos,
+               eps_grid=1e-4 * 16.0, shadow_tmin=1e-4)
+
+    def run(src_open, **kw):
+        return raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
+                               jnp.asarray(tmax), res, interpret=True,
+                               nee=nee, alive=jnp.asarray(alive),
+                               nee_src_open=src_open, **kw)
+
+    fields = ("distance", "ipos", "normal", "color_word", "nee_visible")
+    combos = [
+        dict(queue_depth=4, refill_every=2, march_unroll=2, fetch_cadence=1,
+             sun_mode="all"),
+        dict(queue_depth=4, refill_every=2, march_unroll=2, fetch_cadence=1,
+             sun_mode="half"),
+        dict(queue_depth=2, refill_every=3, march_unroll=1, fetch_cadence=2,
+             sun_mode="off"),
+    ]
+    for kw in combos:
+        a = run(False, **kw)
+        b = run(True, **kw)
+        for f in fields:
+            av = np.asarray(getattr(a, f))
+            bv = np.asarray(getattr(b, f))
+            np.testing.assert_array_equal(av, bv, err_msg=f"{kw} {f}")
+        # the feature must have verdicts to write: some shadows visible
+        assert np.asarray(b.nee_visible).sum() > 0

@@ -136,6 +136,21 @@ class HeadlessRenderer:
                     np.asarray(self.scene._light_direction, np.float64),
                     float(self.scene._light_cone_cos_theta_max),
                 )
+            if self.cfg.dda_nee_src_open == "auto":
+                # Conversion-time sun-open NEE retirement pays only when a
+                # meaningful share of shadow-ray origin cells carries the
+                # certificate; enclosed interiors (example9: ~0% open)
+                # would pay the per-refill gather for nothing.
+                frac = 0.0
+                if (self.cfg.use_directional_light
+                        and tables.sun_open_words is not None):
+                    w = np.asarray(tables.sun_open_words).astype(np.uint32)
+                    n_cells = (self.cfg.grid_res // 4) ** 3
+                    frac = float(np.unpackbits(
+                        w.view(np.uint8)).sum()) / max(n_cells, 1)
+                self.cfg = dataclasses.replace(
+                    self.cfg,
+                    dda_nee_src_open="on" if frac >= 0.15 else "off")
         self.scene_data = SceneData(
             occ_words=arrays["occ_words"],
             voxels=arrays["voxels"],

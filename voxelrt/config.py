@@ -203,6 +203,18 @@ class RenderConfig:
     # 'on' stays selectable for solid-entry-dominated scene classes.
     dda_solid_retire: str = "auto"  # 'auto' | 'on' | 'off'
 
+    # Conversion-time sun-open retirement for in-kernel NEE shadow rays: a
+    # converted shadow ray whose entry cell carries the sun-open
+    # certificate (or whose AABB clip misses the grid) can be verdicted
+    # 'visible' AT the refill itself — the slot loads its next queued ray
+    # instead of marching the shadow for refill_every+ iterations. Bitwise
+    # identical (the certificate guarantees the march could only end
+    # 'visible'; equality test in tests/test_dda_pallas.py). 'auto'
+    # resolves by the scene's sun-open cell fraction at setup (open scenes
+    # on, enclosed interiors off — the extra per-refill gather has nothing
+    # to retire there).
+    dda_nee_src_open: str = "auto"  # 'auto' | 'on' | 'off'
+
     # Escape-sky fetch estimator: 'stochastic' picks ONE bilinear corner
     # per sample with probability equal to its bilinear weight — unbiased
     # (the fetch is linear in texel values) and the same per-sample dither

@@ -287,7 +287,8 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      march_unroll=1, sun_mode="all",
                      march_group=1, n_lod2g_words=0,
                      slow_after=48, debug_totals=False, resume=False,
-                     mixed_scan="full", solid_retire=False):
+                     mixed_scan="full", solid_retire=False,
+                     nee_src_open=False):
     C = queue_depth
     queued = C > 1 or nee_mode
     if static_trange is None:
@@ -1131,6 +1132,31 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                     conv = surf & (ndl > -1e-3)
                     return conv, (spx, spy, spz), (ldx, ldy, ldz)
 
+                def nee_instant(conv, sp, ld):
+                    """Conversion-time sun-open early-out (``nee_src_open``):
+                    replicate init_rays' AABB clip + entry cell for the
+                    would-be shadow ray and test the sun certificate there.
+                    A set bit certifies the WHOLE NEE cone escapes from
+                    anywhere in that cell (ops.accel.build_sun_open_bits),
+                    so the march could only ever end 'visible'; an AABB miss
+                    is 'visible' by the same contract (escape = lit). Both
+                    verdicts are written at this refill and the slot
+                    advances straight to its next queued ray instead of
+                    marching the shadow for refill_every+ iterations. Runs
+                    only on refill rounds (one extra sun gather amortized
+                    over refill_every × march_unroll advances)."""
+                    _, word_s, af_s, _, _, _, _ = init_rays(
+                        *sp, *ld,
+                        jnp.full(sp[0].shape, nee_ref[11]),
+                        jnp.full(sp[0].shape, jnp.float32(3.0e38)))
+                    alive_s = (af_s & (1 << 16)) != 0
+                    pxs, pys, pzs, _, _, _ = unpack_word(word_s)
+                    cell_s = ((pzs >> 2) * r2 + (pys >> 2)) * r2 + (pxs >> 2)
+                    oi = jnp.where(alive_s, cell_s >> gsh, 0)
+                    wsun_s = _gather_words(sun_tab, oi >> 5, occ_n)
+                    open_s = ((wsun_s >> (oi & 31)) & 1) != 0
+                    return conv & (~alive_s | open_s)
+
             @pl.when(do_ref)
             def _write_retired():
                 cur = s["cursor"]
@@ -1140,7 +1166,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                     word_ref[0, k] = jnp.where(selk, out_word, word_ref[0, k])
                     af_ref[0, k] = jnp.where(selk, out_af, af_ref[0, k])
                 if nee_mode:
-                    conv, _, _ = nee_conv_data()
+                    conv, sp_c, ld_c = nee_conv_data()
                     # shadow verdict: visible ⇔ escaped (no hit, no budget
                     # exhaustion — matching the two-dispatch formulation
                     # where a finite distance means occluded)
@@ -1152,16 +1178,31 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                         af_ref[0, k] = jnp.where(
                             selk, af_ref[0, k] | nee_bits, af_ref[0, k])
                     # primaries with no surface (sky escape / dead input):
-                    # mark nee done + invisible right at the primary write
-                    novis = prim_ret & ~conv
+                    # mark nee done + invisible right at the primary write.
+                    # With nee_src_open, instantly-retired shadows (sun-open
+                    # entry cell / AABB miss) fold into the same chain with
+                    # the done+VISIBLE mark.
+                    if nee_src_open:
+                        inst = nee_instant(conv, sp_c, ld_c)
+                        novis = prim_ret & (~conv | inst)
+                        mark = jnp.where(inst, (1 << 20) | (1 << 21),
+                                         1 << 20)
+                    else:
+                        novis = prim_ret & ~conv
+                        mark = jnp.full(conv.shape, 1 << 20, jnp.int32)
                     for k in range(C):
                         selk = novis & (cur == k)
                         af_ref[0, k] = jnp.where(
-                            selk, af_ref[0, k] | (1 << 20), af_ref[0, k])
+                            selk, af_ref[0, k] | mark, af_ref[0, k])
 
             def do_refill():
                 if nee_mode:
                     conv, (spx, spy, spz), (ldx, ldy, ldz) = nee_conv_data()
+                    if nee_src_open:
+                        # instantly-verdicted shadows never load: the slot
+                        # advances to its next queued ray at this refill.
+                        conv = conv & ~nee_instant(
+                            conv, (spx, spy, spz), (ldx, ldy, ldz))
                     advance = (prim_ret & ~conv) | shad_ret
                 else:
                     advance = prim_ret
@@ -1322,7 +1363,7 @@ class PallasTraceResult(NamedTuple):
                      "resolve_steps", "resolve_inc", "resolve_chain",
                      "queue_depth", "refill_every", "march_unroll",
                      "sun_mode", "march_group", "mixed_scan",
-                     "solid_retire"),
+                     "solid_retire", "nee_src_open"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -1337,7 +1378,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     queue_depth: int = 1, refill_every: int = 4,
                     march_unroll: int = 1, sun_mode: str = "all",
                     march_group: int = 1, mixed_scan: str = "full",
-                    solid_retire: bool = False,
+                    solid_retire: bool = False, nee_src_open: bool = False,
                     nee=None, alive=None,
                     resume_state=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
@@ -1606,7 +1647,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         nee_mode=nee_mode, march_unroll=march_unroll, sun_mode=sun_mode,
         march_group=march_group, n_lod2g_words=n_lod2g_words,
         debug_totals=debug_totals, resume=resume, mixed_scan=mixed_scan,
-        solid_retire=solid_retire,
+        solid_retire=solid_retire, nee_src_open=nee_src_open and nee_mode,
     )
 
     nee_ins = [nee_scalars] if nee_mode else []

@@ -396,6 +396,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 resolve_chain=cfg.dda_resolve_chain,
                 mixed_scan=cfg.dda_mixed_scan,
                 solid_retire=cfg.dda_solid_retire == "on",
+                nee_src_open=cfg.dda_nee_src_open == "on",
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
                 nee=nee,
