@@ -244,171 +244,6 @@ def test_in_kernel_nee_matches_two_dispatch():
     np.testing.assert_array_equal(vis_got[mask], vis_ref[mask])
 
 
-def test_march_group_matches_exact():
-    """march_group > 1 (grouped march occupancy: one bit ORs G cells along
-    x) must agree with the exact-march kernel on every hit verdict, hit
-    cell, normal and color; distances may differ only by the advance float
-    order (observed exact here). Also exercised through the queued+alive
-    path the renderer uses."""
-    res = 32
-    world, tables, pyr, arrays = make_setup(res, 0.10, 11)
-    rng = np.random.default_rng(7)
-    n = 4096
-    o = rng.uniform(-res * 0.5, res * 1.5, (n, 3)).astype(np.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    base = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
-                           np.inf, res, interpret=True)
-    bd = np.asarray(base.distance)
-    for g in (2, 4):
-        r = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
-                            np.inf, res, interpret=True, march_group=g)
-        rd = np.asarray(r.distance)
-        np.testing.assert_array_equal(np.isfinite(bd), np.isfinite(rd),
-                                      err_msg=f"G={g} hit verdicts")
-        h = np.isfinite(bd)
-        assert h.sum() > 500
-        np.testing.assert_array_equal(np.asarray(base.ipos)[h],
-                                      np.asarray(r.ipos)[h])
-        np.testing.assert_array_equal(np.asarray(base.normal)[h],
-                                      np.asarray(r.normal)[h])
-        np.testing.assert_array_equal(np.asarray(base.color_word)[h],
-                                      np.asarray(r.color_word)[h])
-        np.testing.assert_allclose(rd[h], bd[h], rtol=1e-5)
-
-        alive = rng.random(n) < 0.5
-        tm = jnp.asarray(np.where(alive, np.inf, 0.0).astype(np.float32))
-        q = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
-                            tm, res, interpret=True, march_group=g,
-                            queue_depth=4, refill_every=2, march_unroll=2,
-                            fetch_cadence=1, alive=jnp.asarray(alive))
-        qd = np.asarray(q.distance)
-        np.testing.assert_array_equal(np.isfinite(rd)[alive],
-                                      np.isfinite(qd)[alive],
-                                      err_msg=f"G={g} queued hit verdicts")
-        hh = alive & np.isfinite(rd)
-        np.testing.assert_array_equal(np.asarray(r.ipos)[hh],
-                                      np.asarray(q.ipos)[hh])
-
-
-def test_mixed_scan_span_matches_full():
-    """mixed_scan='span' (dynamic row-span scan of the rank-compressed
-    mixed-mask table) is a pure scan-strategy choice: results must be
-    bitwise identical to the default 'full' static scan in closest-hit and
-    any-hit modes, across the march_group and use_dist4 axes and through
-    the queued+unrolled path the renderer uses."""
-    res = 32
-    world, tables, pyr, arrays = make_setup(res, 0.10, 13)
-    rng = np.random.default_rng(17)
-    n = 4096
-    o = rng.uniform(-res * 0.5, res * 1.5, (n, 3)).astype(np.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-
-    combos = [
-        dict(),                                   # plain closest-hit
-        dict(any_hit=True, fetch_colors=False),   # shadow any-hit
-        dict(march_group=2),
-        dict(use_dist4=True),  # (dist4 excludes march_group>1 / unroll>1)
-        dict(queue_depth=4, refill_every=2, march_unroll=2,
-             fetch_cadence=1),
-        dict(any_hit=True, fetch_colors=False, queue_depth=4,
-             refill_every=2, march_unroll=2, fetch_cadence=1),
-    ]
-    for kw in combos:
-        full = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
-                               1e-6, np.inf, res, interpret=True,
-                               mixed_scan="full", **kw)
-        span = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
-                               1e-6, np.inf, res, interpret=True,
-                               mixed_scan="span", **kw)
-        fd, sd_ = np.asarray(full.distance), np.asarray(span.distance)
-        np.testing.assert_array_equal(np.isfinite(fd), np.isfinite(sd_),
-                                      err_msg=f"hit verdicts, kw={kw}")
-        h = np.isfinite(fd)
-        assert h.sum() > 500
-        np.testing.assert_array_equal(fd[h], sd_[h],
-                                      err_msg=f"distances, kw={kw}")
-        if not kw.get("any_hit"):
-            np.testing.assert_array_equal(np.asarray(full.ipos)[h],
-                                          np.asarray(span.ipos)[h])
-            np.testing.assert_array_equal(np.asarray(full.normal)[h],
-                                          np.asarray(span.normal)[h])
-            np.testing.assert_array_equal(np.asarray(full.color_word)[h],
-                                          np.asarray(span.color_word)[h])
-
-
-def test_resolve_inc_matches_reference_form():
-    """resolve_inc (incremental Amanatides-Woo in-cell accumulators) must
-    agree with the recompute-from-t reference form: identical hit verdicts,
-    voxels and normals; distances within float accumulation slack."""
-    res = 32
-    world, tables, pyr, arrays = make_setup(res, 0.10, 11)
-    rng = np.random.default_rng(23)
-    n = 4096
-    o = rng.uniform(-res * 0.5, res * 1.5, (n, 3)).astype(np.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-
-    for kw in (dict(),
-               dict(any_hit=True, fetch_colors=False),
-               dict(queue_depth=4, refill_every=2, march_unroll=2,
-                    fetch_cadence=1)):
-        ref = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
-                              1e-6, np.inf, res, interpret=True,
-                              resolve_inc=False, **kw)
-        inc = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
-                              1e-6, np.inf, res, interpret=True,
-                              resolve_inc=True, **kw)
-        rd, id_ = np.asarray(ref.distance), np.asarray(inc.distance)
-        np.testing.assert_array_equal(np.isfinite(rd), np.isfinite(id_),
-                                      err_msg=f"hit verdicts, kw={kw}")
-        h = np.isfinite(rd)
-        assert h.sum() > 500
-        np.testing.assert_allclose(id_[h], rd[h], rtol=1e-5, atol=1e-4)
-        if not kw.get("any_hit"):
-            np.testing.assert_array_equal(np.asarray(ref.ipos)[h],
-                                          np.asarray(inc.ipos)[h])
-            np.testing.assert_array_equal(np.asarray(ref.normal)[h],
-                                          np.asarray(inc.normal)[h])
-            np.testing.assert_array_equal(np.asarray(ref.color_word)[h],
-                                          np.asarray(inc.color_word)[h])
-
-
-def test_resolve_chain_matches_single():
-    """resolve_chain=2 (chase the ray into the next occupied cell within
-    one fetch round) replays exactly what the next fetch round would have
-    done from the same state — bitwise identical results."""
-    res = 32
-    world, tables, pyr, arrays = make_setup(res, 0.10, 31)
-    rng = np.random.default_rng(41)
-    n = 4096
-    o = rng.uniform(-res * 0.5, res * 1.5, (n, 3)).astype(np.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-
-    for kw in (dict(),
-               dict(any_hit=True, fetch_colors=False),
-               dict(queue_depth=4, refill_every=2, march_unroll=2,
-                    fetch_cadence=1, resolve_inc=True)):
-        one = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
-                              1e-6, np.inf, res, interpret=True,
-                              resolve_chain=1, **kw)
-        two = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
-                              1e-6, np.inf, res, interpret=True,
-                              resolve_chain=2, **kw)
-        np.testing.assert_array_equal(np.asarray(one.distance),
-                                      np.asarray(two.distance),
-                                      err_msg=f"kw={kw}")
-        if not kw.get("any_hit"):
-            np.testing.assert_array_equal(np.asarray(one.ipos),
-                                          np.asarray(two.ipos))
-            np.testing.assert_array_equal(np.asarray(one.normal),
-                                          np.asarray(two.normal))
-            np.testing.assert_array_equal(np.asarray(one.color_word),
-                                          np.asarray(two.color_word))
-
-
 def test_queued_alive_skip_matches_plain():
     """alive= (per-slot dead-entry skip): queued traces must equal the
     plain kernel on every ALIVE lane and return the canonical miss
@@ -502,46 +337,6 @@ def test_queued_alive_skip_matches_plain():
                 np.asarray(getattr(nb, f))[alive],
                 np.asarray(getattr(nc, f))[alive],
                 err_msg=f"sun_mode={sm} {f}")
-
-
-def test_two_phase_resume_equals_single_phase():
-    """Two-phase traversal (phase-1 advance budget + resume_state) must
-    reproduce the single-phase trace exactly, with the resumed phase getting
-    only the REMAINING advance budget (render/pathtracer.py two-phase path)."""
-    res = 32
-    world, tables, pyr, arrays = make_setup(res, 0.10, 11)
-    rng = np.random.default_rng(21)
-    n = 1024
-    o = rng.uniform(0, res, (n, 3)).astype(np.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    budget = 64
-    single = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
-                             np.inf, res, max_advances=budget, interpret=True)
-    p1 = 8
-    a = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
-                        res, max_advances=p1, interpret=True)
-    b = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
-                        res, max_advances=budget - p1, interpret=True,
-                        resume_state=(a.distance, a.normal, a.active))
-    act = np.asarray(a.active) != 0
-    dist = np.where(act, np.asarray(b.distance), np.asarray(a.distance))
-    ipos = np.where(act[:, None], np.asarray(b.ipos), np.asarray(a.ipos))
-    normal = np.where(act[:, None], np.asarray(b.normal), np.asarray(a.normal))
-    col = np.where(act, np.asarray(b.color_word), np.asarray(a.color_word))
-    assert act.sum() > 20  # the split actually exercised the resume path
-    # Semantics the renderer consumes: hit/miss agreement everywhere; on
-    # HITS, cell/normal/color exact and t ulp-close (phase 2 restarts from
-    # floor(o + d*(t + eps)), which reorders the float accumulation). Missed
-    # rays' resting ipos is a don't-care (never read behind an inf t).
-    sd = np.asarray(single.distance)
-    np.testing.assert_array_equal(np.isfinite(dist), np.isfinite(sd))
-    hit = np.isfinite(sd)
-    assert hit.sum() > 200
-    np.testing.assert_allclose(dist[hit], sd[hit], rtol=1e-5)
-    np.testing.assert_array_equal(ipos[hit], np.asarray(single.ipos)[hit])
-    np.testing.assert_array_equal(normal[hit], np.asarray(single.normal)[hit])
-    np.testing.assert_array_equal(col[hit], np.asarray(single.color_word)[hit])
 
 
 def test_pallas_empty_and_full():
@@ -683,105 +478,6 @@ def test_sun_open_kernel_matches_plain_shadow():
     assert int(np.asarray(fast.iters)[~hf].sum()) < int(
         np.asarray(plain.iters)[~hp].sum()
     )
-
-
-def test_solid_retire_matches_plain():
-    """solid_retire (in-march retirement at fully-SOLID cells) is a pure
-    scheduling optimization: a ray entering a solid cell hits its entry
-    voxel at step 0 with its current (t, position, face normal), so
-    retiring it in the march must be bitwise identical to stalling into a
-    fetch round — in closest-hit, any-hit and in-kernel NEE modes, across
-    queue/unroll/sun_mode combos."""
-    import math
-
-    from voxelrt.ops.accel import add_sun_open_table, build_pallas_tables
-    from voxelrt.ops.sampling import make_orthonormal_basis
-
-    res = 32
-    rng = np.random.default_rng(21)
-    world = VoxelWorld(1.0 / res, res, 0.0)
-    mat = (rng.random((res,) * 3) < 0.05).astype(np.int8)
-    # solid regions aligned to 4³ cells (a ground slab + a box) so rays
-    # actually enter fully-solid cells from empty space
-    mat[:, 0:4, :] = 1
-    mat[8:16, 8:20, 8:16] = 1
-    world.material = mat
-    world.color = rng.integers(0, 255, (res, res, res, 3), dtype=np.uint8)
-    arrays = world.device_arrays()
-    tables = build_pallas_tables(mat, np.asarray(arrays["voxels"]), res)
-    assert int(np.asarray(tables.solid_words).astype(np.uint32).sum()) != 0
-    L = np.array([1.0, 1.0, -1.0])
-    L /= np.linalg.norm(L)
-    cone_cos = math.cos(0.025 * 0.5)
-    tables = add_sun_open_table(tables, mat, L, cone_cos)
-
-    n = 4096
-    o = rng.uniform(0, res, (n, 3)).astype(np.float32)
-    # bias some origins above the slab shooting down (guaranteed solid
-    # entries)
-    o[: n // 4, 1] = rng.uniform(8, res, n // 4)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d[: n // 4, 1] -= 1.0
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    alive = rng.random(n) < 0.7
-    tmax = np.where(alive, np.inf, 0.0).astype(np.float32)
-
-    fields = ("distance", "ipos", "normal", "color_word", "iters", "active")
-
-    def run(solid_retire, **kw):
-        return raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
-                               jnp.asarray(tmax), res, interpret=True,
-                               solid_retire=solid_retire, **kw)
-
-    # plain (non-queued) closest hit
-    a = run(False)
-    b = run(True)
-    for f in fields:
-        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
-                                      np.asarray(getattr(b, f)),
-                                      err_msg=f"plain {f}")
-    # the feature must actually retire rays earlier (fewer stall iters is
-    # not observable per-ray, but hits must exist on solid entries)
-    assert np.isfinite(np.asarray(b.distance)).sum() > n // 8
-
-    # queued + unroll + alive mask
-    kw = dict(queue_depth=4, refill_every=2, march_unroll=2,
-              fetch_cadence=1, alive=jnp.asarray(alive))
-    a = run(False, **kw)
-    b = run(True, **kw)
-    for f in fields:
-        np.testing.assert_array_equal(np.asarray(getattr(a, f)),
-                                      np.asarray(getattr(b, f)),
-                                      err_msg=f"queued {f}")
-
-    # any-hit (shadow) mode
-    kw = dict(any_hit=True, fetch_colors=False, queue_depth=4,
-              refill_every=2, march_unroll=2, fetch_cadence=1,
-              alive=jnp.asarray(alive))
-    a = run(False, **kw)
-    b = run(True, **kw)
-    np.testing.assert_array_equal(np.asarray(a.distance),
-                                  np.asarray(b.distance))
-
-    # in-kernel NEE across sun modes
-    u = rng.random((n, 2)).astype(np.float32)
-    alt = np.full(n, np.inf, np.float32)
-    Lj = jnp.asarray(L, jnp.float32)
-    X, Y = make_orthonormal_basis(Lj)
-    nee = dict(u=jnp.asarray(u), alt_t=jnp.asarray(alt), light_dir=Lj,
-               tangent=X, bitangent=Y, cone_cos=cone_cos,
-               eps_grid=1e-4 * 16.0, shadow_tmin=1e-4)
-    for sm in ("all", "half", "off"):
-        kw = dict(queue_depth=4, refill_every=2, march_unroll=2,
-                  fetch_cadence=1, nee=nee, sun_mode=sm,
-                  alive=jnp.asarray(alive))
-        a = run(False, **kw)
-        b = run(True, **kw)
-        for f in ("distance", "ipos", "normal", "color_word",
-                  "nee_visible"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
-                err_msg=f"nee sun_mode={sm} {f}")
 
 
 def test_nee_src_open_matches_plain():

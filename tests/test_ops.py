@@ -200,70 +200,6 @@ def test_bsdf_feature_specialization_bitwise():
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_rgb9e5_roundtrip_and_point_fetch():
-    """pack_rgb9e5/unpack_rgb9e5_soa: relative error bounded by the 9-bit
-    mantissa (2^-9 of the dominant channel), and the one-word Pallas point
-    fetch returns table words verbatim (cfg.sky_rgb9e5 path)."""
-    from voxelrt.ops.texfetch import (pack_rgb9e5, point_fetch_word,
-                                      unpack_rgb9e5_soa)
-
-    rng = np.random.default_rng(42)
-    img = (rng.uniform(0.0, 4.0, (64, 64, 3)) ** 2).astype(np.float32)
-    words = pack_rgb9e5(img)
-    r, g, b = unpack_rgb9e5_soa(jnp.asarray(words[: 64 * 64]))
-    dec = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
-    flat = img.reshape(-1, 3)
-    # error bound: one shared-exponent mantissa step (covers the exponent
-    # bump when the dominant channel rounds up to mantissa 512)
-    step = 2.0 ** (np.floor(np.log2(np.maximum(flat.max(-1), 1e-30))) + 1 - 9)
-    assert np.all(np.abs(dec - flat) <= step[:, None] + 1e-12)
-
-    tex = rng.integers(0, 64 * 64, 500).astype(np.int32)
-    got = np.asarray(
-        point_fetch_word(jnp.asarray(words), jnp.asarray(tex), interpret=True)
-    ).astype(np.uint32)
-    assert np.array_equal(got, words[tex])
-
-
-def test_stochastic_sky_rgb9e5_matches_bf16():
-    """The two stochastic-fetch texel formats agree to quantization noise
-    over a full skybox sample pass (same texel picks, both unbiased)."""
-    from voxelrt.config import RenderConfig
-    from voxelrt.ops.texfetch import pack_rgb9e5, pack_rgb_bf16
-    from voxelrt.sky import atmos
-    from voxelrt.ops.v3 import V3
-
-    rng = np.random.default_rng(3)
-    res = 64
-    tex = (rng.uniform(0.2, 1.5, (res, res, 3)) ** 2).astype(np.float32)
-    sky = atmos.SkyData(
-        jnp.asarray(tex), jnp.asarray(tex), jnp.zeros(3),
-        jnp.zeros((256, 128, 3)),
-        packed_scatt=jnp.asarray(pack_rgb_bf16(tex)),
-        packed_trans=jnp.asarray(pack_rgb_bf16(tex)),
-        packed_scatt9=jnp.asarray(pack_rgb9e5(tex)),
-    )
-    n = 4096
-    d = np.stack([rng.normal(size=n), np.abs(rng.normal(size=n)) + 0.1,
-                  rng.normal(size=n)], -1)
-    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
-    dv = V3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]))
-    u3 = V3(*(jnp.asarray(rng.uniform(size=n).astype(np.float32))
-              for _ in range(3)))
-    outs = {}
-    for flag in (False, True):
-        cfg = RenderConfig(skybox_res=res, pallas_interpret=True,
-                           sky_rgb9e5=flag)
-        s, _ = atmos._sample_skybox_stochastic(cfg, sky, dv, u3,
-                                               scattered=True,
-                                               want_trans=False)
-        outs[flag] = np.stack([np.asarray(s.x), np.asarray(s.y),
-                               np.asarray(s.z)], -1)
-    err = np.abs(outs[True] - outs[False])
-    rel = err / np.maximum(np.abs(outs[False]), 1e-4)
-    assert rel.max() < 0.01  # both within quantization of the same texel
-
-
 def test_sliced_sky_route_sort_matches_global():
     """sky_sort_sliced (per-sample-slice route/unroute sorts) is a pure
     routing change: per-lane fetches are exact and each slice's unroute is
@@ -271,7 +207,7 @@ def test_sliced_sky_route_sort_matches_global():
     with and without the transmittance payload, and at a wavefront length
     not divisible by samples_per_launch (fallback to global)."""
     from voxelrt.config import RenderConfig
-    from voxelrt.ops.texfetch import pack_rgb9e5, pack_rgb_bf16
+    from voxelrt.ops.texfetch import pack_rgb_bf16
     from voxelrt.sky import atmos
     from voxelrt.ops.v3 import V3
 
@@ -283,7 +219,6 @@ def test_sliced_sky_route_sort_matches_global():
         jnp.zeros((256, 128, 3)),
         packed_scatt=jnp.asarray(pack_rgb_bf16(tex)),
         packed_trans=jnp.asarray(pack_rgb_bf16(tex)),
-        packed_scatt9=jnp.asarray(pack_rgb9e5(tex)),
     )
 
     for n, spl in ((4096, 4), (4096 + 128, 4)):

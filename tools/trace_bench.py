@@ -59,9 +59,6 @@ def main():
     ap.add_argument("--cadence", type=int, nargs="*", default=[2])
     ap.add_argument("--rows", type=int, default=8,
                     help="block_rows: sublane rows of rays per kernel block")
-    ap.add_argument("--phase1", type=int, default=0,
-                    help="two-phase traversal phase-1 advance budget "
-                         "(sorted benches only; 0 = single phase)")
     ap.add_argument("--sorted", action="store_true")
     ap.add_argument("--debug", action="store_true",
                     help="per-block traversal profile (debug_totals kernel): "
@@ -78,23 +75,12 @@ def main():
     ap.add_argument("--resolve-steps", type=int, default=9,
                     help="in-cell DDA unroll length (resumable; 9 = whole "
                          "cell in one fetch)")
-    ap.add_argument("--resolve-chain", type=int, default=1,
-                    help="cells resolved per fetch round (2 = chase the "
-                         "ray into the next occupied cell in-round)")
-    ap.add_argument("--resolve-inc", action="store_true",
-                    help="incremental (Amanatides-Woo accumulator) in-cell "
-                         "DDA instead of the recompute-from-t form")
-    ap.add_argument("--mixed-scan", choices=("full", "span"), default="full",
-                    help="mixed-mask scan strategy")
     ap.add_argument("--noxslab", action="store_true",
                     help="disable the candidate-B X-slab skip (A/B its "
                          "per-iteration cost)")
     ap.add_argument("--sun", action="store_true",
                     help="bake the sun-open table and bench shadow rays "
                          "with the use_sun_open early-out")
-    ap.add_argument("--solid-retire", action="store_true",
-                    help="retire rays entering fully-solid cells in the "
-                         "march (no fetch round)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -225,11 +211,7 @@ def main():
                     fetch_colors=fetch_c, any_hit=any_hit,
                     use_sun_open=sun_open,
                     use_xslab=not args.noxslab,
-                    mixed_scan=args.mixed_scan,
                     resolve_steps=args.resolve_steps,
-                    resolve_inc=args.resolve_inc,
-                    resolve_chain=args.resolve_chain,
-                    solid_retire=args.solid_retire,
                     queue_depth=args.queue, refill_every=args.refill,
                     march_unroll=args.unroll,
                     fetch_cadence=cadence, interpret=args.interpret,
@@ -259,8 +241,7 @@ def main():
         from voxelrt.render.pathtracer import _trace_voxels_sorted
 
         cfg = RenderConfig(grid_res=res, use_pallas_dda=True,
-                           dda_block_rows=args.rows,
-                           dda_phase1_advances=args.phase1)
+                           dda_block_rows=args.rows)
         o = jnp.asarray(o); d = jnp.asarray(d)
         mk = jnp.asarray(mask)
 

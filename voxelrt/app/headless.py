@@ -93,16 +93,6 @@ class HeadlessRenderer:
         self.cfg = dataclasses.replace(
             self.cfg, material_ids=tuple(sorted(ids)), material_features=feats
         )
-        if self.cfg.dda_solid_retire == "auto":
-            # 'auto' currently resolves to 'off': even on the best-case
-            # scene (example6, 32% of exposed cell faces solid) the
-            # in-march solid retirement measured a uniform 4-9% kernel
-            # LOSS — lock-step blocks pace on their slowest lane, so
-            # retiring individual rays early saves nothing while the third
-            # gather table costs every advance (PERF_NOTES round-4
-            # session 3). The knob stays selectable for scene classes
-            # where solid entries dominate (thick-walled architecture).
-            self.cfg = dataclasses.replace(self.cfg, dda_solid_retire="off")
         arrays = self.scene.world.device_arrays()
         sky = None
         if self.cfg.use_physical_sky:

@@ -70,12 +70,6 @@ class RenderConfig:
     # Traversal bound (renderer/raytracer.py:103).
     max_dda_advances: int = 512
 
-    # Two-phase traversal (sorted bounce/shadow wavefronts only): phase 1
-    # runs with this advance budget so lock-step blocks never wait long for
-    # straggler rays; unfinished rays resume in a second dispatch whose
-    # blocks are mostly all-dead (they exit at init). 0 disables.
-    dda_phase1_advances: int = 0
-
     # Traversal backend: the Pallas VMEM kernel (ops/dda_pallas.py) or the
     # portable XLA implementation (ops/dda.py). Auto-selected by the app
     # shell: Pallas on TPU, portable elsewhere. `pallas_interpret` runs the
@@ -157,51 +151,11 @@ class RenderConfig:
     # ms/spp — the certificate still pays, at half its gather cost.
     dda_sun_mode: str = "half"  # 'all' | 'half' | 'off'
 
-    # March occupancy granularity: G > 1 tests a bit that ORs G cells
-    # adjacent along x, shrinking the march's hottest VMEM gather G×
-    # (1024 words → 512/256). Conservative: a ray stopping at a
-    # group-occupied but cell-empty cell stalls into a fetch round, which
-    # re-reads exact LOD2 and walks it across watertightly (example6: 2.3%
-    # of empty cells at G=2, 4.7% at G=4). The free X-slab skip also grows
-    # to G rows. Per-ray hits are exact; only the advance float order
-    # (and so last-ulp t) can differ from G=1.
-    dda_march_group: int = 1  # 1 | 2 | 4
-
-    # Mixed-mask table scan strategy in the fetch round: 'full' is the
-    # static ceil(n_mixed/128)-round dual scan; 'span' scans only the
-    # dynamic row span the fetching MIXED-cell lanes actually index
-    # (z-major ranks are spatially local). Results identical.
-    dda_mixed_scan: str = "full"  # 'full' | 'span'
-
     # In-cell DDA unroll length per fetch round (9 = the longest monotone
     # voxel path through a 4³ cell resolves in one fetch; shorter unrolls
     # run fewer mask tests per fetch but re-fetch rays that cross a cell
     # in more steps — the resolve is resumable either way, results exact).
     dda_resolve_steps: int = 9
-
-    # Cells resolved per fetch round: at 2, a ray exiting its 4-cubed cell
-    # into another occupied cell resolves it in the SAME round (fresh rank
-    # gather + mask fetch) instead of paying a march iteration between
-    # fetches - surface-crawling rays (interiors) otherwise alternate
-    # fetch/stall. Results bitwise identical (dda_pallas.py).
-    dda_resolve_chain: int = 1
-
-    # In-cell DDA form: incremental Amanatides-Woo accumulators (True)
-    # halve the per-step ALU of the reference's recompute-from-t advance;
-    # hit distances move only at the ulp level (dda_pallas.py resolve).
-    dda_resolve_inc: bool = True
-
-    # In-march retirement at fully-SOLID cells: a ray entering one hits its
-    # entry voxel at step 0 with its current (t, pos, face normal), so the
-    # march retires it directly (the solid bit rides the occupancy gather
-    # as a triple scan) instead of stalling it into a fetch round. Results
-    # bitwise identical (dda_pallas.py). Measured a uniform 4-9% kernel
-    # LOSS even on the best-case example6 (32% of exposed faces solid):
-    # lock-step blocks pace on their slowest lane, so early per-ray
-    # retirement saves nothing while the extra gather costs every advance
-    # (PERF_NOTES round-4 session 3). 'auto' therefore resolves to 'off';
-    # 'on' stays selectable for solid-entry-dominated scene classes.
-    dda_solid_retire: str = "auto"  # 'auto' | 'on' | 'off'
 
     # Conversion-time sun-open retirement for in-kernel NEE shadow rays: a
     # converted shadow ray whose entry cell carries the sun-open
@@ -224,14 +178,6 @@ class RenderConfig:
     # four, and the unroute carries the packed texel words losslessly.
     # 'bilinear' restores the reference's jittered 4-corner interpolation.
     sky_fetch: str = "stochastic"  # 'stochastic' | 'bilinear'
-
-    # Stochastic-fetch texel format: True fetches a one-word rgb9e5 table
-    # (half the gather rounds, one unroute payload, and MORE accurate than
-    # bf16 on the real sky — texfetch.pack_rgb9e5). Measured SLOWER on v5e
-    # despite all that (37.9 -> 41.7 ms/spp, PERF_NOTES.md: the
-    # shared-exponent decode fuses worse than the bf16 bitcast unpack), so
-    # the two-word bf16 pair stays the default.
-    sky_rgb9e5: bool = False
 
     # Per-sample uniform draws: 'pcg3d' derives each draw slot by hashing
     # (pixel key lo, pixel key hi, slot) with PCG3D (Jarzynski & Olano,

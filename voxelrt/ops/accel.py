@@ -20,22 +20,6 @@ v5 layout (rank-compressed; for grid_res = 128 — general powers of two up to
                                    reference's LOD3..LOD6 pyramid walk
                                    (renderer/raytracer.py:9-15,110-118) with
                                    a single query per march step.
-  * dist4_words   u32[res³/64/16]  2-bit chebyshev distance field over 4³
-                                   CELLS (z-major cell id order, 16 cells
-                                   per word): 0 = cell occupied, else
-                                   min(chebyshev cell distance, 3). In
-                                   closest-hit mode the kernel reads ONLY
-                                   this field per march step (occupancy test
-                                   = value 0) and skips the radius-(d-1)
-                                   cell box — near geometry, where the 8³
-                                   dist3 field reads 0 and v5 crawled one
-                                   cell per iteration, d=2/3 advances 2-10
-                                   voxels per iteration. dist3 is still
-                                   consulted for long skips (both boxes
-                                   contain the ray; it jumps to the farther
-                                   exit). Any-hit (shadow) mode keeps the
-                                   LOD2-word layout: it shares its gather
-                                   with the sun-open certificate table.
   * rank_base     u32[n lod2 words] number of MIXED (occupied, not solid)
                                    cells with id below each 32-cell word —
                                    rank(c) = rank_base[c>>5] +
@@ -110,7 +94,6 @@ class PallasTables(NamedTuple):
     lod2_words: "jax.Array"  # u32 (n2w,) z-major cell bit order
     solid_words: "jax.Array"  # u32 (n2w,) bit = cell fully occupied
     dist3_words: "jax.Array"  # u32 (n3w,) packed 4-bit chebyshev distances
-    dist4_words: "jax.Array"  # u32 packed 2-bit cell distances (0=occupied)
     rank_base: "jax.Array"  # u32 (n2w,) mixed-cell prefix ranks
     occ_morton: "jax.Array"  # u32 (n2w,) occupancy bits, morton cell order
     occ_rank_base: "jax.Array"  # u32 (n2w,) occupied prefix ranks, morton
@@ -365,23 +348,10 @@ def build_pallas_tables(material_xyz: np.ndarray, color_words_zyx: np.ndarray,
     )
     dist3 = _pack_nibbles(chebyshev_distance_field(occ3))
 
-    # 2-bit cell-granular distance field (see docstring): 0 = occupied.
-    d4 = chebyshev_distance_field(
-        occupied.reshape(r2, r2, r2), cap=3
-    ).astype(np.uint32).reshape(-1)
-    d4 = np.minimum(d4, 3)
-    pad4 = (-len(d4)) % 16
-    if pad4:
-        d4 = np.concatenate([d4, np.full(pad4, 3, np.uint32)])
-    dist4 = (
-        d4.reshape(-1, 16) << (2 * np.arange(16, dtype=np.uint32))
-    ).sum(axis=1, dtype=np.uint32)
-
     return PallasTables(
         lod2_words=jnp.asarray(_pad_to(lod2, 128)),
         solid_words=jnp.asarray(_pad_to(solid_w, 128)),
         dist3_words=jnp.asarray(_pad_to(dist3, 128)),
-        dist4_words=jnp.asarray(_pad_to(dist4, 128)),
         rank_base=jnp.asarray(_pad_to(rank_base, 128)),
         occ_morton=jnp.asarray(_pad_to(occ_morton, 128)),
         occ_rank_base=jnp.asarray(_pad_to(occ_rank_base, 128)),

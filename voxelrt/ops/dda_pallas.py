@@ -73,35 +73,6 @@ def _gather_1024(table_slab, word_idx, slab_rows=8):
     return out
 
 
-def _compress_even_bits(x):
-    """Keep the even-indexed bits of each u32, compressed into bits 0-15
-    (SWAR pext of 0x55555555)."""
-    x = x & 0x55555555
-    x = (x | (x >> 1)) & 0x33333333
-    x = (x | (x >> 2)) & 0x0F0F0F0F
-    x = (x | (x >> 4)) & 0x00FF00FF
-    x = (x | (x >> 8)) & 0x0000FFFF
-    return x
-
-
-def _group_bits(words, g: int, mode: str):
-    """Reduce a u32 bit table over groups of ``g`` adjacent bits ('or' for
-    occupancy, 'and' for certificates). words: u32 (multiple of 128,);
-    returns the g×-smaller table padded back to a multiple of 128. Padding
-    bits are 0, which is conservative for both modes (pad cells are out of
-    range for 'or'; 'and' simply never certifies them)."""
-    w = words.astype(jnp.uint32)
-    steps = {2: 1, 4: 2}[g]
-    for _ in range(steps):
-        p = (w | (w >> 1)) if mode == "or" else (w & (w >> 1))
-        h = _compress_even_bits(p)
-        w = h[0::2] | (h[1::2] << 16)
-    pad = (-w.shape[0]) % 128
-    if pad:
-        w = jnp.concatenate([w, jnp.zeros(pad, jnp.uint32)])
-    return w
-
-
 def _part1by2(v):
     """Spread low bits 3 apart (valid for v < 256)."""
     v = (v | (v << 8)) & 0x0300F00F
@@ -157,63 +128,6 @@ def _gather_words2(ref_a, ref_b, word_idx, n_words):
         else:
             out_a, out_b = ga, gb
     return out_a, out_b
-
-
-def _gather_words2_span(ref_a, ref_b, word_idx, relevant):
-    """Dual gather like ``_gather_words2``, but scans only the DYNAMIC row
-    span [min, max] of the (128-word) table rows the ``relevant`` lanes
-    actually index. Mixed-cell ranks are z-major prefix counts, so the
-    lanes served by one fetch round tend to sit in a few contiguous rows —
-    the span loop then replaces a full static ceil(n/128)-round scan with
-    ~span dynamic rounds (+2 scalar reduces). Non-relevant lanes read 0."""
-    lane = word_idx & 127
-    row_id = word_idx >> 7
-    BIGI = jnp.int32(0x7FFFFFFF)
-    rmin = jnp.min(jnp.where(relevant, row_id, BIGI))
-    rmax = jnp.max(jnp.where(relevant, row_id, -1))
-
-    def scond(c):
-        return c[0] <= rmax
-
-    def sbody(c):
-        k, out_a, out_b = c
-        row_a = jnp.broadcast_to(ref_a[pl.ds(k, 1), :], word_idx.shape)
-        row_b = jnp.broadcast_to(ref_b[pl.ds(k, 1), :], word_idx.shape)
-        ga = jnp.take_along_axis(row_a, lane, axis=1)
-        gb = jnp.take_along_axis(row_b, lane, axis=1)
-        sel = row_id == k
-        return (k + 1, jnp.where(sel, ga, out_a), jnp.where(sel, gb, out_b))
-
-    _, out_a, out_b = jax.lax.while_loop(
-        scond, sbody,
-        (rmin, jnp.zeros_like(word_idx), jnp.zeros_like(word_idx)),
-    )
-    return out_a, out_b
-
-
-def _gather_words3(ref_a, ref_b, ref_c, word_idx, n_words):
-    """Gather the same index from three parallel tables in one scan."""
-    rounds = -(-n_words // LANES)
-    lane = word_idx & 127
-    row_id = word_idx >> 7
-    out_a = jnp.zeros_like(word_idx)
-    out_b = jnp.zeros_like(word_idx)
-    out_c = jnp.zeros_like(word_idx)
-    for k in range(rounds):
-        ga = jnp.take_along_axis(
-            jnp.broadcast_to(ref_a[k : k + 1, :], word_idx.shape), lane, axis=1)
-        gb = jnp.take_along_axis(
-            jnp.broadcast_to(ref_b[k : k + 1, :], word_idx.shape), lane, axis=1)
-        gc = jnp.take_along_axis(
-            jnp.broadcast_to(ref_c[k : k + 1, :], word_idx.shape), lane, axis=1)
-        if rounds > 1:
-            sel = row_id == k
-            out_a = jnp.where(sel, ga, out_a)
-            out_b = jnp.where(sel, gb, out_b)
-            out_c = jnp.where(sel, gc, out_c)
-        else:
-            out_a, out_b, out_c = ga, gb, gc
-    return out_a, out_b, out_c
 
 
 def _fetch_hit_colors(px, py, pz, hit_flag, occm_ref, occb_ref, colors_ref,
@@ -279,15 +193,13 @@ def _fetch_hit_colors(px, py, pz, hit_flag, occm_ref, occb_ref, colors_ref,
 
 def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      use_sun_open, n_lod2_words, n_dist3_words, n_mixed_rows,
-                     n_dist4_words=0, use_dist4=False, use_palette=False,
+                     use_palette=False,
                      use_xslab=True, fetch_cadence=2,
-                     resolve_steps=CELL_RESOLVE_STEPS, resolve_inc=False,
-                     resolve_chain=1, static_trange=None,
+                     resolve_steps=CELL_RESOLVE_STEPS,
+                     static_trange=None,
                      queue_depth=1, refill_every=4, nee_mode=False,
                      march_unroll=1, sun_mode="all",
-                     march_group=1, n_lod2g_words=0,
-                     slow_after=48, debug_totals=False, resume=False,
-                     mixed_scan="full", solid_retire=False,
+                     slow_after=48, debug_totals=False,
                      nee_src_open=False):
     C = queue_depth
     queued = C > 1 or nee_mode
@@ -302,7 +214,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         # bitmask: the caller's wavefront mask lives in amask, padding
         # lanes are dead by construction) — no per-ray arrays, two fewer
         # queue fields in VMEM and in every refill select-chain.
-        assert queued and not resume
+        assert queued
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref) = refs[:6]
         tmin_ref = tmax_ref = None
         base_rays = 6
@@ -325,26 +237,18 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         # skipped entries are pre-initialized to the canonical miss below.
         amask_ref = refs[base_rays]
         base_rays += 1
-    if resume:
-        # Resume inputs: phase-1 exit state (t doubles as the new tmin via
-        # tmin_ref; normals carry the last advance's face; act flags rays
-        # still unfinished after the phase-1 advance budget).
-        assert not queued
-        nxi_ref, nyi_ref, nzi_ref, acti_ref = refs[base_rays:base_rays + 4]
-        tbl0 = base_rays + 4
-    else:
-        tbl0 = base_rays
-    (lod2_ref, solid_ref, dist3_ref, dist4_ref, rankb_ref, occm_ref,
+    tbl0 = base_rays
+    (lod2_ref, solid_ref, dist3_ref, rankb_ref, occm_ref,
      occb_ref, mlo_ref, mhi_ref, colors_ref, pal_ref,
-     sun_ref, lod2g_ref, sung_ref) = refs[tbl0 : tbl0 + 14]
+     sun_ref) = refs[tbl0 : tbl0 + 11]
     if queued:
         # Queued mode writes PACKED per-chunk outputs (t, word, af, col);
         # the wrapper unpacks in XLA.
         assert not debug_totals
-        t_ref, word_ref, af_ref, col_ref = refs[tbl0 + 14 :]
+        t_ref, word_ref, af_ref, col_ref = refs[tbl0 + 11 :]
     else:
         (t_ref, ix_ref, iy_ref, iz_ref,
-         nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 14 :]
+         nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 11 :]
     res = grid_res
     r2 = res // 4
     fres = float(res)
@@ -376,7 +280,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         nz_ = (((word >> 28) & 3) - 1).astype(jnp.float32)
         return px_, py_, pz_, nx_, ny_, nz_
 
-    def init_rays(ox, oy, oz, dx, dy, dz, tmin, tmax, rs_n=None, rs_act=None):
+    def init_rays(ox, oy, oz, dx, dy, dz, tmin, tmax, rs_act=None):
         """Ray/AABB clip + entry state (raytracer.py:81-101, IEEE form).
         Returns (t, word, af, far, inv_x, inv_y, inv_z); dead rays carry
         ipos = -1 in the packed word."""
@@ -416,9 +320,6 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
 
         if any_hit:
             nx0 = ny0 = nz0 = jnp.zeros(px0.shape, jnp.float32)
-        elif rs_n is not None:
-            # continue with the face crossed by phase 1's last advance
-            nx0, ny0, nz0 = rs_n
         else:
             # boundary-voxel initial normal (raytracer.py:98-101)
             idx_ = jnp.abs(ox + dx * (t0 + eps) - fres * 0.5)
@@ -494,13 +395,12 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         tmin0 = tmin_ref[0]
         tmax0 = tmax_ref[0]
 
-    rs_n = (nxi_ref[0], nyi_ref[0], nzi_ref[0]) if resume else None
-    rs_act = acti_ref[0] if resume else None
+    rs_act = None
     if queued:
         # Slots with no alive queue entry at all start drained.
         rs_act = (cursor0 < C).astype(jnp.int32)
     t_i, word_i, af_i, far0, inv_x0, inv_y0, inv_z0 = init_rays(
-        ox0, oy0, oz0, dx0, dy0, dz0, tmin0, tmax0, rs_n=rs_n, rs_act=rs_act)
+        ox0, oy0, oz0, dx0, dy0, dz0, tmin0, tmax0, rs_act=rs_act)
     alive0 = (af_i >> 16) != 0
 
     state = dict(
@@ -576,34 +476,9 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         cell = ((pz >> 2) * r2 + (py >> 2)) * r2 + (px >> 2)
         cw = cell >> 5
         cb = cell & 31
-        # ``march_group`` G > 1: the march's occupancy test reads a G×
-        # SMALLER bit table (bit = OR of G cells adjacent along cx; the
-        # sun certificate the AND) — halving/quartering the hottest gather.
-        # A set group bit is conservative: the ray stalls into a fetch
-        # round, which re-reads EXACT LOD2 and crosses a group-occupied but
-        # cell-empty cell with the in-cell DDA (~2.3% of empty cells on
-        # example6 at G=2, PERF_NOTES).
-        gsh = {1: 0, 2: 1, 4: 2}[march_group]
-        if march_group > 1:
-            occ_idx = cell >> gsh
-            occ_tab, sun_tab, occ_n = lod2g_ref, sung_ref, n_lod2g_words
-        else:
-            occ_idx = cell
-            occ_tab, sun_tab, occ_n = lod2_ref, sun_ref, n_lod2_words
-        ow = occ_idx >> 5
-        ob = occ_idx & 31
-        if use_dist4:
-            # Closest-hit mode reads ONLY the 2-bit cell distance field per
-            # march step: 0 ⇒ occupied (the occupancy test), d ≥ 1 ⇒ the
-            # radius-(d-1) CELL box is empty (a short skip where the 8³
-            # dist3 field saturates at 0 near geometry). The LOD2 word is
-            # then only needed on fetch iterations (rank indexing) and is
-            # gathered there instead.
-            v4 = (_gather_words(dist4_ref, cell >> 4, n_dist4_words)
-                  >> ((cell & 15) * 2)) & 3
-            occ2 = v4 == 0
-            w2 = None
-        elif use_sun_open or (nee_mode and sun_mode == "all"):
+        ow = cw
+        ob = cb
+        if use_sun_open or (nee_mode and sun_mode == "all"):
             # Sun-shadow mode: a ray standing in a SUN-OPEN cell provably
             # escapes (ops.accel.build_sun_open_bits certifies the whole NEE
             # cone from anywhere in the cell) — retire it as a miss now.
@@ -613,39 +488,17 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             # unrolled segments (halving the dual-gather cost; retirement
             # delayed ≤1 advance, outputs identical), 'off' disables the
             # early-out (pure A/B knob — shadow rays march to escape).
-            if solid_retire:
-                w2, wsun, wsol = _gather_words3(occ_tab, sun_tab, solid_ref,
-                                                ow, occ_n)
-            else:
-                w2, wsun = _gather_words2(occ_tab, sun_tab, ow, occ_n)
+            w2, wsun = _gather_words2(lod2_ref, sun_ref, ow, n_lod2_words)
             sun_esc = ((wsun >> ob) & 1) != 0
             if nee_mode:
                 sun_esc = sun_esc & (s_phase != 0)
             miss = miss | (live & inb & sun_esc)
             live = active & ~miss
             occ2 = ((w2 >> ob) & 1) != 0
-        elif solid_retire:
-            w2, wsol = _gather_words2(occ_tab, solid_ref, ow, occ_n)
-            occ2 = ((w2 >> ob) & 1) != 0
         else:
-            w2 = _gather_words(occ_tab, ow, occ_n)
+            w2 = _gather_words(lod2_ref, ow, n_lod2_words)
             occ2 = ((w2 >> ob) & 1) != 0
-        if solid_retire:
-            # ``solid_retire``: a ray ENTERING a fully-SOLID cell hits its
-            # entry voxel at step 0 with its current (t, position, face
-            # normal) — exactly what the fetch round's cell_dda would
-            # produce from the implicit all-ones mask — so retire it in the
-            # march itself: no stall, no fetch round, no mixed-mask scan.
-            # The solid bit rides the occupancy gather (a triple scan);
-            # only MIXED-cell rays reach fetch rounds now. Outputs are
-            # bitwise identical (the fetch path would stall ≤cadence
-            # iterations, then resolve to the same values).
-            solid_here = ((wsol >> cb) & 1) != 0
-            hit_solid = live & occ2 & solid_here
-            at_occ = live & occ2 & ~solid_here
-        else:
-            hit_solid = None
-            at_occ = live & occ2
+        at_occ = live & occ2
 
         # ONE packed max-reduce answers both questions (scalar-producing
         # reductions cost ~130 ns): 0 ⇒ no live rays (loop can stop),
@@ -667,41 +520,16 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         # while occupied). The mask table holds MIXED cells only, indexed by
         # prefix-popcount rank; solid cells read an implicit all-ones mask.
         def fetch_and_resolve():
-            if use_dist4 or march_group > 1:
-                # the march's occupancy word is cell-inexact here — gather
-                # the exact LOD2 word alongside the rank tables
-                ws, base, w2f = _gather_words3(solid_ref, rankb_ref, lod2_ref,
-                                               cw, n_lod2_words)
-            else:
-                ws, base = _gather_words2(solid_ref, rankb_ref, cw,
-                                          n_lod2_words)
-                w2f = w2
+            ws, base = _gather_words2(solid_ref, rankb_ref, cw,
+                                      n_lod2_words)
             solid_here = ((ws >> cb) & 1) != 0
-            below = (w2f & ~ws) & ((1 << cb) - 1)
+            below = (w2 & ~ws) & ((1 << cb) - 1)
             rank = base + _popcount32(below)
-            if mixed_scan == "span":
-                # The mask tables are the kernel's largest static scan
-                # (ceil(n_mixed/128) dual rounds every fetch); only lanes at
-                # MIXED cells need it, and their z-major ranks are spatially
-                # local, so scan just the dynamic row span they cover.
-                mix = at_occ & (((w2f >> cb) & 1) != 0) & ~solid_here
-                mask_lo, mask_hi = _gather_words2_span(
-                    mlo_ref, mhi_ref, rank, mix
-                )
-            else:
-                mask_lo, mask_hi = _gather_words2(
-                    mlo_ref, mhi_ref, rank, n_mixed_rows * LANES
-                )
+            mask_lo, mask_hi = _gather_words2(
+                mlo_ref, mhi_ref, rank, n_mixed_rows * LANES
+            )
             mask_lo = jnp.where(solid_here, jnp.int32(-1), mask_lo)
             mask_hi = jnp.where(solid_here, jnp.int32(-1), mask_hi)
-            if march_group > 1:
-                # Group-occupied but cell-EMPTY rays (the conservative
-                # at_occ false positives) read an all-zero mask: the
-                # in-cell DDA walks them watertightly across the empty
-                # cell and they resume marching outside it.
-                cell_occ = ((w2f >> cb) & 1) != 0
-                mask_lo = jnp.where(cell_occ, mask_lo, 0)
-                mask_hi = jnp.where(cell_occ, mask_hi, 0)
 
             # In-register single-voxel DDA across a fetched 4³ cell: the
             # entry voxel is tested, then ≤resolve_steps watertight unit
@@ -717,28 +545,27 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                 cbx = ((rpx >> 2) << 2)
                 cby = ((rpy >> 2) << 2)
                 cbz = ((rpz >> 2) << 2)
-                if resolve_inc:
-                    # Incremental Amanatides–Woo accumulators: per-axis
-                    # absolute t of the NEXT voxel-face crossing,
-                    # initialized once per fetch and advanced by the
-                    # (unit-cell) tDelta = inv each step — ~half the
-                    # per-step ALU of the recompute-from-t form.
-                    # Accumulation changes hit distances only at the ulp
-                    # level over the ≤10 in-cell steps (vs the reference's
-                    # recompute, raytracer.py:124-147); the portable-DDA
-                    # equivalence tests compare at 1e-2.
-                    fx0 = ox + dx * rt - rpx.astype(jnp.float32)
-                    fy0 = oy + dy * rt - rpy.astype(jnp.float32)
-                    fz0 = oz + dz * rt - rpz.astype(jnp.float32)
-                    tmx = jnp.where(
-                        dx == 0.0, BIG,
-                        rt + jnp.where(dx > 0.0, 1.0 - fx0, fx0) * inv_x)
-                    tmy = jnp.where(
-                        dy == 0.0, BIG,
-                        rt + jnp.where(dy > 0.0, 1.0 - fy0, fy0) * inv_y)
-                    tmz = jnp.where(
-                        dz == 0.0, BIG,
-                        rt + jnp.where(dz > 0.0, 1.0 - fz0, fz0) * inv_z)
+                # Incremental Amanatides–Woo accumulators: per-axis
+                # absolute t of the NEXT voxel-face crossing,
+                # initialized once per fetch and advanced by the
+                # (unit-cell) tDelta = inv each step — ~half the
+                # per-step ALU of recomputing from t each step (the
+                # reference's form, raytracer.py:124-147). Accumulation
+                # changes hit distances only at the ulp level over the
+                # ≤10 in-cell steps; the portable-DDA equivalence tests
+                # compare at 1e-2.
+                fx0 = ox + dx * rt - rpx.astype(jnp.float32)
+                fy0 = oy + dy * rt - rpy.astype(jnp.float32)
+                fz0 = oz + dz * rt - rpz.astype(jnp.float32)
+                tmx = jnp.where(
+                    dx == 0.0, BIG,
+                    rt + jnp.where(dx > 0.0, 1.0 - fx0, fx0) * inv_x)
+                tmy = jnp.where(
+                    dy == 0.0, BIG,
+                    rt + jnp.where(dy > 0.0, 1.0 - fy0, fy0) * inv_y)
+                tmz = jnp.where(
+                    dz == 0.0, BIG,
+                    rt + jnp.where(dz > 0.0, 1.0 - fz0, fz0) * inv_z)
                 for step in range(resolve_steps + 1):
                     local = ((rpz & 3) * 4 + (rpy & 3)) * 4 + (rpx & 3)
                     mword = jnp.where(local < 32, mask_lo, mask_hi)
@@ -751,41 +578,21 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                     # unit-cell watertight advance (cs = 1 ⇒ the
                     # reconstructed in-cell coordinate is always 0:
                     # new voxel = p + exit axis)
-                    if resolve_inc:
-                        mint_abs = jnp.maximum(
-                            jnp.minimum(jnp.minimum(tmx, tmy), tmz), rt)
-                        ax = tmx == mint_abs
-                        ay = tmy == mint_abs
-                        az = tmz == mint_abs
-                        anx = ax.astype(jnp.float32) * sx
-                        any_ = ay.astype(jnp.float32) * sy
-                        anz = az.astype(jnp.float32) * sz
-                        npx = rpx + anx.astype(jnp.int32)
-                        npy = rpy + any_.astype(jnp.int32)
-                        npz = rpz + anz.astype(jnp.int32)
-                        rt = jnp.where(moving, mint_abs, rt)
-                        tmx = jnp.where(moving & ax, tmx + inv_x, tmx)
-                        tmy = jnp.where(moving & ay, tmy + inv_y, tmy)
-                        tmz = jnp.where(moving & az, tmz + inv_z, tmz)
-                    else:
-                        fx = ox + dx * rt - rpx.astype(jnp.float32)
-                        fy = oy + dy * rt - rpy.astype(jnp.float32)
-                        fz = oz + dz * rt - rpz.astype(jnp.float32)
-                        dxx = jnp.where(dx > 0.0, 1.0 - fx, fx)
-                        dyy = jnp.where(dy > 0.0, 1.0 - fy, fy)
-                        dzz = jnp.where(dz > 0.0, 1.0 - fz, fz)
-                        txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
-                        tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
-                        tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
-                        mint = jnp.maximum(
-                            jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
-                        anx = (txx == mint).astype(jnp.float32) * sx
-                        any_ = (tyy == mint).astype(jnp.float32) * sy
-                        anz = (tzz == mint).astype(jnp.float32) * sz
-                        npx = rpx + anx.astype(jnp.int32)
-                        npy = rpy + any_.astype(jnp.int32)
-                        npz = rpz + anz.astype(jnp.int32)
-                        rt = jnp.where(moving, rt + mint, rt)
+                    mint_abs = jnp.maximum(
+                        jnp.minimum(jnp.minimum(tmx, tmy), tmz), rt)
+                    ax = tmx == mint_abs
+                    ay = tmy == mint_abs
+                    az = tmz == mint_abs
+                    anx = ax.astype(jnp.float32) * sx
+                    any_ = ay.astype(jnp.float32) * sy
+                    anz = az.astype(jnp.float32) * sz
+                    npx = rpx + anx.astype(jnp.int32)
+                    npy = rpy + any_.astype(jnp.int32)
+                    npz = rpz + anz.astype(jnp.int32)
+                    rt = jnp.where(moving, mint_abs, rt)
+                    tmx = jnp.where(moving & ax, tmx + inv_x, tmx)
+                    tmy = jnp.where(moving & ay, tmy + inv_y, tmy)
+                    tmz = jnp.where(moving & az, tmz + inv_z, tmz)
                     rpx = jnp.where(moving, npx, rpx)
                     rpy = jnp.where(moving, npy, rpy)
                     rpz = jnp.where(moving, npz, rpz)
@@ -801,42 +608,11 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                     moving = moving & ~exited
                 return rt, rpx, rpy, rpz, rnx, rny, rnz, rhit, steps
 
-            st = cell_dda(at_occ, mask_lo, mask_hi, t, px, py, pz,
-                          s_nx, s_ny, s_nz,
-                          jnp.zeros(px.shape, jnp.bool_),
-                          jnp.zeros(px.shape, jnp.int32))
-            # ``resolve_chain`` > 1: a ray that exits its cell into ANOTHER
-            # occupied cell resolves that cell in the SAME fetch round
-            # (fresh rank gather + mask fetch) instead of paying a full
-            # march iteration between the two fetches — surface-crawling
-            # rays (enclosed interiors) otherwise alternate fetch/stall.
-            # Chains replay exactly what the next fetch round would have
-            # done from the same state, so results are bitwise identical.
-            active_c = at_occ
-            for _chain in range(resolve_chain - 1):
-                rt, rpx, rpy, rpz, rnx, rny, rnz, rhit, steps = st
-                inb_c = (
-                    (rpx >= 0) & (rpx < res) & (rpy >= 0) & (rpy < res)
-                    & (rpz >= 0) & (rpz < res)
-                )
-                cell_c = ((rpz >> 2) * r2 + (rpy >> 2)) * r2 + (rpx >> 2)
-                cw_c = cell_c >> 5
-                cb_c = cell_c & 31
-                ws_c, base_c, w2_c = _gather_words3(
-                    solid_ref, rankb_ref, lod2_ref, cw_c, n_lod2_words)
-                occ_c = ((w2_c >> cb_c) & 1) != 0
-                cont = active_c & ~rhit & (rt <= far) & inb_c & occ_c
-                solid_c = ((ws_c >> cb_c) & 1) != 0
-                below_c = (w2_c & ~ws_c) & ((1 << cb_c) - 1)
-                rank_c = base_c + _popcount32(below_c)
-                mlo_c, mhi_c = _gather_words2(mlo_ref, mhi_ref, rank_c,
-                                              n_mixed_rows * LANES)
-                mlo_c = jnp.where(solid_c, jnp.int32(-1), mlo_c)
-                mhi_c = jnp.where(solid_c, jnp.int32(-1), mhi_c)
-                st = cell_dda(cont, mlo_c, mhi_c, rt, rpx, rpy, rpz,
-                              rnx, rny, rnz, rhit, steps)
-                active_c = cont
-            rt, rpx, rpy, rpz, rnx, rny, rnz, rhit, steps = st
+            rt, rpx, rpy, rpz, rnx, rny, rnz, rhit, steps = cell_dda(
+                at_occ, mask_lo, mask_hi, t, px, py, pz,
+                s_nx, s_ny, s_nz,
+                jnp.zeros(px.shape, jnp.bool_),
+                jnp.zeros(px.shape, jnp.int32))
             return rt, rpx, rpy, rpz, rnx, rny, rnz, \
                 rhit.astype(jnp.int32), steps
 
@@ -848,11 +624,11 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         )
 
         # --- empty-space march (distance-field skip) -----------------------
-        def march_candidates(t_, px_, py_, pz_, w2_, v4_=None):
+        def march_candidates(t_, px_, py_, pz_, w2_):
             """Watertight advance to the farther of the valid skip boxes:
-            candidate A (dist3 cube / current cell), A4 (dist4 cell cube) or
-            B (the free LOD2 X-slab). Returns (nat, nap*, an*). Pure function
-            of (position, t) so extra ``march_unroll`` segments replay it."""
+            candidate A (dist3 cube / current cell) or B (the free LOD2
+            X-slab). Returns (nat, nap*, an*). Pure function of
+            (position, t) so extra ``march_unroll`` segments replay it."""
             c3x, c3y, c3z = px_ >> 3, py_ >> 3, pz_ >> 3
             r3 = res // 8
             c3 = (c3z * r3 + c3y) * r3 + c3x
@@ -885,43 +661,15 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
 
             fxA, fyA, fzA, txxA, tyyA, tzzA, mintA = box_exit(
                 loxA, loyA, lozA, extA, extA, extA)
-            if use_dist4:
-                # Candidate A4: the dist4 cell box (radius v4-1 of 4³ cells).
-                # Every MARCHING ray has v4 ≥ 1 (occ2 would have routed it to
-                # the fetch), so the box is always valid for the lanes whose
-                # result is kept. Both boxes contain the ray; jump to the
-                # farther exit.
-                rad4 = v4_ - 1
-                lox4 = (((px_ >> 2) - rad4) << 2).astype(jnp.float32)
-                loy4 = (((py_ >> 2) - rad4) << 2).astype(jnp.float32)
-                loz4 = (((pz_ >> 2) - rad4) << 2).astype(jnp.float32)
-                ext4 = ((2 * rad4 + 1) << 2).astype(jnp.float32)
-                fx4, fy4, fz4, txx4, tyy4, tzz4, mint4 = box_exit(
-                    lox4, loy4, loz4, ext4, ext4, ext4)
-                use4 = mint4 > mintA
-                lox = jnp.where(use4, lox4, loxA)
-                loy = jnp.where(use4, loy4, loyA)
-                loz = jnp.where(use4, loz4, lozA)
-                extx = exty = extz = jnp.where(use4, ext4, extA)
-                fx = jnp.where(use4, fx4, fxA)
-                fy = jnp.where(use4, fy4, fyA)
-                fz = jnp.where(use4, fz4, fzA)
-                txx = jnp.where(use4, txx4, txxA)
-                tyy = jnp.where(use4, tyy4, tyyA)
-                tzz = jnp.where(use4, tzz4, tzzA)
-                mint = jnp.where(use4, mint4, mintA)
-            elif use_xslab:
+            if use_xslab:
                 # Candidate B: the occupancy word already gathered for the
                 # occupancy test covers full X-rows of cells (soundness
                 # asserted in raytrace_pallas); w2 == 0 certifies that
                 # whole slab empty. Free long-range skip for X-dominant
-                # rays — no extra gather. At march_group G > 1 the word
-                # spans G aligned rows, so the certified box grows to
-                # res × 4G × 4.
+                # rays — no extra gather.
                 validB = w2_ == 0
-                extyB = jnp.float32(4.0 * march_group)
-                loyB = (((py_ >> 2) & ~(march_group - 1)) << 2).astype(
-                    jnp.float32)
+                extyB = jnp.float32(4.0)
+                loyB = ((py_ >> 2) << 2).astype(jnp.float32)
                 lozB = ((pz_ >> 2) << 2).astype(jnp.float32)
                 fxB, fyB, fzB, txxB, tyyB, tzzB, mintB = box_exit(
                     jnp.float32(0.0), loyB, lozB, fres, extyB,
@@ -961,7 +709,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             return t_ + mint, napx, napy, napz, anx, any_, anz
 
         nat, napx, napy, napz, anx, any_, anz = march_candidates(
-            t, px, py, pz, w2, v4 if use_dist4 else None)
+            t, px, py, pz, w2)
 
         march = live & ~occ2
 
@@ -980,13 +728,6 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         exhausted = live & (o_adv >= max_advances)
         o_exh = s_exh | (exhausted & (hit1 == 0)).astype(jnp.int32)
         o_act = live & (hit1 == 0) & ~exhausted
-        if solid_retire:
-            # solid-entry retirement: hit at the current (t, pos, normal),
-            # which the march/fetch merge above already leaves in place for
-            # non-marching lanes.
-            o_hit = o_hit | hit_solid.astype(jnp.int32)
-            o_exh = o_exh & ~hit_solid.astype(jnp.int32)
-            o_act = o_act & ~hit_solid
 
         # Extra march-only segments (``march_unroll`` > 1): advance the
         # marching rays again with fresh occupancy gathers, amortizing the
@@ -1003,29 +744,19 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             miss_u = o_act & ((o_t > far) | ~inb_u)
             live_u = o_act & ~miss_u
             cell_u = ((o_pz >> 2) * r2 + (o_py >> 2)) * r2 + (o_px >> 2)
-            ow_u = (cell_u >> gsh) >> 5
-            ob_u = (cell_u >> gsh) & 31
+            ow_u = cell_u >> 5
+            ob_u = cell_u & 31
             if use_sun_open or (nee_mode and sun_mode != "off"):
-                if solid_retire:
-                    w2_u, wsun_u, wsol_u = _gather_words3(
-                        occ_tab, sun_tab, solid_ref, ow_u, occ_n)
-                else:
-                    w2_u, wsun_u = _gather_words2(occ_tab, sun_tab, ow_u,
-                                                  occ_n)
+                w2_u, wsun_u = _gather_words2(lod2_ref, sun_ref, ow_u,
+                                              n_lod2_words)
                 sun_esc_u = ((wsun_u >> ob_u) & 1) != 0
                 if nee_mode:
                     sun_esc_u = sun_esc_u & (s_phase != 0)
                 miss_u = miss_u | (live_u & inb_u & sun_esc_u)
                 live_u = o_act & ~miss_u
-            elif solid_retire:
-                w2_u, wsol_u = _gather_words2(occ_tab, solid_ref, ow_u,
-                                              occ_n)
             else:
-                w2_u = _gather_words(occ_tab, ow_u, occ_n)
+                w2_u = _gather_words(lod2_ref, ow_u, n_lod2_words)
             occ2_u = ((w2_u >> ob_u) & 1) != 0
-            if solid_retire:
-                hit_solid_u = live_u & occ2_u & (((wsol_u >> ob_u) & 1) != 0)
-                o_hit = o_hit | hit_solid_u.astype(jnp.int32)
             march_u = live_u & ~occ2_u
             nat_u, napx_u, napy_u, napz_u, anx_u, any_u, anz_u = \
                 march_candidates(o_t, o_px, o_py, o_pz, w2_u)
@@ -1041,9 +772,6 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             exhausted_u = live_u & (o_adv >= max_advances)
             o_exh = o_exh | exhausted_u.astype(jnp.int32)
             o_act = live_u & ~exhausted_u
-            if solid_retire:
-                o_exh = o_exh & ~hit_solid_u.astype(jnp.int32)
-                o_act = o_act & ~hit_solid_u
 
         out = dict(s)
         out["t"] = o_t
@@ -1152,8 +880,8 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                     alive_s = (af_s & (1 << 16)) != 0
                     pxs, pys, pzs, _, _, _ = unpack_word(word_s)
                     cell_s = ((pzs >> 2) * r2 + (pys >> 2)) * r2 + (pxs >> 2)
-                    oi = jnp.where(alive_s, cell_s >> gsh, 0)
-                    wsun_s = _gather_words(sun_tab, oi >> 5, occ_n)
+                    oi = jnp.where(alive_s, cell_s, 0)
+                    wsun_s = _gather_words(sun_ref, oi >> 5, n_lod2_words)
                     open_s = ((wsun_s >> (oi & 31)) & 1) != 0
                     return conv & (~alive_s | open_s)
 
@@ -1323,7 +1051,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
     ny_ref[0] = ny
     nz_ref[0] = nz
     # Unfinished rays (advance budget or iteration cap hit before a
-    # hit/miss verdict) — the two-phase caller compacts and resumes these.
+    # hit/miss verdict); callers treat them as misses.
     act_ref[0] = f_active | f_exh
 
     # --- hit color fetch (skipped for shadow rays) --------------------------
@@ -1351,7 +1079,7 @@ class PallasTraceResult(NamedTuple):
     normal: jax.Array  # (N, 3)
     iters: jax.Array
     color_word: jax.Array  # u32 packed r|g<<8|b<<16|mat<<24 (0 unless hit)
-    active: jax.Array  # i32: 1 = unfinished (advance budget hit); resumable
+    active: jax.Array  # i32: 1 = unfinished (advance budget hit)
     nee_visible: jax.Array | None = None  # in-kernel NEE verdict (nee=...)
 
 
@@ -1359,11 +1087,10 @@ class PallasTraceResult(NamedTuple):
     jax.jit,
     static_argnames=("grid_res", "max_advances", "fetch_colors", "any_hit",
                      "interpret", "fetch_cadence", "debug_totals",
-                     "block_rows", "use_sun_open", "use_xslab", "use_dist4",
-                     "resolve_steps", "resolve_inc", "resolve_chain",
+                     "block_rows", "use_sun_open", "use_xslab",
+                     "resolve_steps",
                      "queue_depth", "refill_every", "march_unroll",
-                     "sun_mode", "march_group", "mixed_scan",
-                     "solid_retire", "nee_src_open"),
+                     "sun_mode", "nee_src_open"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -1372,15 +1099,11 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     debug_totals: bool = False,
                     block_rows: int = SUBLANES,
                     use_sun_open: bool = False, use_xslab: bool = True,
-                    use_dist4: bool | None = None,
                     resolve_steps: int = CELL_RESOLVE_STEPS,
-                    resolve_inc: bool = False, resolve_chain: int = 1,
                     queue_depth: int = 1, refill_every: int = 4,
                     march_unroll: int = 1, sun_mode: str = "all",
-                    march_group: int = 1, mixed_scan: str = "full",
-                    solid_retire: bool = False, nee_src_open: bool = False,
-                    nee=None, alive=None,
-                    resume_state=None) -> PallasTraceResult:
+                    nee_src_open: bool = False,
+                    nee=None, alive=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
     origin/direction: (N, 3) f32; N is padded to a multiple of the block
@@ -1394,12 +1117,6 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     marching R independent rows per block interleaves R chains (ILP) at the
     cost of straggler coupling (a block runs until its worst ray finishes).
 
-    ``resume_state``: optional (t, normal, active) from a prior budget-capped
-    trace of the SAME (origin, direction) rays — two-phase traversal. The
-    trace restarts each active ray at parameter ``t`` carrying the face
-    normal of its last advance; rays with active == 0 exit immediately.
-    ``ray_min_t`` is ignored for resumed rays (t takes its place).
-
     ``nee``: optional IN-KERNEL NEXT-EVENT ESTIMATION. A dict with per-ray
     cone uniforms ``u`` (N, 2), the floor-surface alternative hit distance
     ``alt_t`` (N,) in grid units (inf = none; when closer than the voxel
@@ -1412,7 +1129,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     ``result.nee_visible`` (1 = the cone sample reaches the sky; floor
     occlusion of the shadow ray itself is the caller's cheap closed-form
     check). Replaces the separate any-hit shadow dispatch per depth.
-    Requires closest-hit mode (not any_hit/resume/debug).
+    Requires closest-hit mode (not any_hit/debug).
 
     ``queue_depth`` C > 1 enables the QUEUED WAVEFRONT: each (row, lane)
     slot holds a queue of C rays and reloads in place the moment its
@@ -1420,7 +1137,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     lock-step block's cost amortizes to ~C × mean ray length + one tail
     instead of C × worst-ray length. Measured motivation (example6 bounce
     wavefront): mean 10.7 advances/ray vs 82.6 block max — ~8× lock-step
-    pacing waste. Incompatible with resume_state/debug_totals.
+    pacing waste. Incompatible with debug_totals.
 
     ``alive``: optional (N,) bool/int — rays the caller wants traced (its
     wavefront mask). Queued dispatches pack it into a per-slot bitmask and
@@ -1438,15 +1155,14 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     # Candidate-B soundness: one LOD2 word must span a full X-row of cells.
     assert 32 % (grid_res // 4) == 0, grid_res
     # adv occupies 16 bits of the packed per-ray loop state.
-    assert max_advances + resolve_chain * CELL_RESOLVE_STEPS < (1 << 16), \
-        max_advances
+    assert max_advances + CELL_RESOLVE_STEPS < (1 << 16), max_advances
     nee_mode = nee is not None
     if nee_mode:
         assert not any_hit and fetch_colors and not use_sun_open
-        assert resume_state is None and not debug_totals
+        assert not debug_totals
     queued = queue_depth > 1 or nee_mode
     if queued:
-        assert resume_state is None and not debug_totals
+        assert not debug_totals
         # the per-slot alive bitmask packs one bit per queue entry
         assert queue_depth <= 32, queue_depth
     block_rays = block_rows * LANES * (queue_depth if queued else 1)
@@ -1465,25 +1181,19 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         d = prep(direction)
         o0, o1, o2 = o[:, 0], o[:, 1], o[:, 2]
         d0, d1, d2 = d[:, 0], d[:, 1], d[:, 2]
-    resume = resume_state is not None
     # Scalar tmin/tmax on a queued dispatch become LAUNCH CONSTANTS: no
     # per-ray arrays, two fewer queue fields in VMEM and in every refill
     # select-chain. Dead wavefront lanes are covered by the alive bitmask
     # (and padding lanes by its zero-padding), so the caller's tmax
     # masking is redundant there — outputs are bitwise identical.
     static_trange = None
-    if (queued and not resume
+    if (queued
             and isinstance(ray_min_t, (int, float, np.floating))
             and isinstance(ray_max_t, (int, float, np.floating))):
         static_trange = (float(ray_min_t), float(ray_max_t))
-    if resume:
-        rs_t, rs_n, rs_act = resume_state
-        # finished rays carry t = inf; keep dead lanes' math finite
-        tmin = prep(jnp.where(rs_act != 0, rs_t, 0.0).astype(jnp.float32))
-    elif static_trange is None:
+    if static_trange is None:
         tmin = prep(jnp.broadcast_to(jnp.asarray(ray_min_t, jnp.float32),
                                      (n,)))
-    if static_trange is None:
         tmax = prep(jnp.broadcast_to(jnp.asarray(ray_max_t, jnp.float32),
                                      (n,)))
     nb = npad // block_rays
@@ -1540,47 +1250,20 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     else:
         amask_ins = []
         amask_specs = []
-    if resume:
-        rn0, rn1, rn2 = ((rs_n.x, rs_n.y, rs_n.z) if isinstance(rs_n, V3)
-                         else (rs_n[:, 0], rs_n[:, 1], rs_n[:, 2]))
-        ins += [blk(prep(rn0)), blk(prep(rn1)), blk(prep(rn2)),
-                blk(prep(rs_act.astype(jnp.int32)))]
-
     def table_spec(rows):
         return pl.BlockSpec((rows, LANES), lambda b: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    if use_dist4 is None:
-        # Default OFF — measured a net loss on example6 (bounce 44.6 → 41.8
-        # Mrays/s, iterations unchanged at 45.3/block): near geometry the
-        # cell distance saturates at 1, so the skip degenerates to the
-        # one-cell advance the d3==0 fallback already takes, while the
-        # 2048-word gather costs 16 scan rounds/iteration vs LOD2's 8
-        # (PERF_NOTES round 3). Kept selectable for sparser scenes.
-        use_dist4 = False
-    assert not (use_dist4 and use_sun_open), \
-        "sun-open shares the LOD2 gather; dist4 mode replaces it"
-    # Extra march segments re-gather LOD2 only; the dist4 occupancy read is
-    # not replayed there, so the combination is not implemented.
-    assert march_unroll == 1 or not use_dist4, (march_unroll, use_dist4)
     assert march_unroll >= 1, march_unroll
-    assert mixed_scan in ("full", "span"), mixed_scan
-    # solid_retire's in-march retirement reads the exact solid table with
-    # the exact-LOD2 gather's index math; the grouped/dist4 march reads a
-    # different table at a different granularity.
-    assert not (solid_retire and (use_dist4 or march_group > 1)), (
-        solid_retire, use_dist4, march_group)
 
     r2 = grid_res // 4
     r3 = grid_res // 8
     n_lod2_words = (r2 * r2 * r2 + 31) // 32
     n_dist3_words = (r3 * r3 * r3 + 7) // 8
-    n_dist4_words = (r2 * r2 * r2 + 15) // 16
 
     lod2 = tables.lod2_words.reshape(-1, LANES).astype(jnp.int32)
     solid = tables.solid_words.reshape(-1, LANES).astype(jnp.int32)
     dist3 = tables.dist3_words.reshape(-1, LANES).astype(jnp.int32)
-    dist4 = tables.dist4_words.reshape(-1, LANES).astype(jnp.int32)
     rankb = tables.rank_base.reshape(-1, LANES).astype(jnp.int32)
     occm = tables.occ_morton.reshape(-1, LANES).astype(jnp.int32)
     occb = tables.occ_rank_base.reshape(-1, LANES).astype(jnp.int32)
@@ -1594,29 +1277,6 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
            if use_palette else jnp.zeros((SUBLANES, LANES), jnp.int32))
     sun = tables.sun_open_words.reshape(-1, LANES).astype(jnp.int32)
     n_mixed_rows = mlo.shape[0]
-
-    # march_group G > 1: derive the G×-smaller march occupancy / sun tables
-    # (bit = OR / AND over G cells adjacent along cx) from the exact ones —
-    # a few hundred u32s of bit math, fused into the dispatch.
-    assert march_group in (1, 2, 4), march_group
-    if march_group > 1:
-        assert not use_dist4, "dist4 replaces the grouped occupancy read"
-        # candidate-B soundness at G: a group word must span whole X-rows,
-        # G-aligned row groups must sit inside one word's extent, and the
-        # ray's 4G-aligned Y box must tile the cell grid.
-        assert (32 * march_group) % r2 == 0 and r2 % march_group == 0, (
-            march_group, r2)
-        lod2g = _group_bits(tables.lod2_words, march_group, "or").reshape(
-            -1, LANES).astype(jnp.int32)
-        sung = _group_bits(tables.sun_open_words, march_group,
-                           "and").reshape(-1, LANES).astype(jnp.int32)
-        n_lod2g_words = (r2 * r2 * r2 // march_group + 31) // 32
-    else:
-        # unused at G=1 (the kernel reads lod2/sun directly) — tiny dummies
-        # instead of duplicating both tables into VMEM
-        lod2g = jnp.zeros((SUBLANES, LANES), jnp.int32)
-        sung = lod2g
-        n_lod2g_words = n_lod2_words
 
     if queued:
         out_shapes = [
@@ -1638,16 +1298,13 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         fetch_colors=fetch_colors, any_hit=any_hit,
         use_sun_open=use_sun_open,
         n_lod2_words=n_lod2_words, n_dist3_words=n_dist3_words,
-        n_mixed_rows=n_mixed_rows, n_dist4_words=n_dist4_words,
-        use_dist4=use_dist4, use_palette=use_palette,
+        n_mixed_rows=n_mixed_rows, use_palette=use_palette,
         use_xslab=use_xslab, fetch_cadence=fetch_cadence,
-        resolve_steps=resolve_steps, resolve_inc=resolve_inc,
-        resolve_chain=resolve_chain, static_trange=static_trange,
+        resolve_steps=resolve_steps, static_trange=static_trange,
         queue_depth=queue_depth, refill_every=refill_every,
         nee_mode=nee_mode, march_unroll=march_unroll, sun_mode=sun_mode,
-        march_group=march_group, n_lod2g_words=n_lod2g_words,
-        debug_totals=debug_totals, resume=resume, mixed_scan=mixed_scan,
-        solid_retire=solid_retire, nee_src_open=nee_src_open and nee_mode,
+        debug_totals=debug_totals,
+        nee_src_open=nee_src_open and nee_mode,
     )
 
     nee_ins = [nee_scalars] if nee_mode else []
@@ -1656,16 +1313,13 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         grid=(nb,),
         in_specs=[ray_spec] * n_ray_ins
         + ([smem_spec] if nee_mode else [])
-        + amask_specs
-        + ([ray_spec] * 4 if resume else []) + [
+        + amask_specs + [
             table_spec(lod2.shape[0]), table_spec(solid.shape[0]),
-            table_spec(dist3.shape[0]), table_spec(dist4.shape[0]),
-            table_spec(rankb.shape[0]),
+            table_spec(dist3.shape[0]), table_spec(rankb.shape[0]),
             table_spec(occm.shape[0]), table_spec(occb.shape[0]),
             table_spec(mlo.shape[0]), table_spec(mhi.shape[0]),
             table_spec(colors.shape[0]), table_spec(pal.shape[0]),
             table_spec(sun.shape[0]),
-            table_spec(lod2g.shape[0]), table_spec(sung.shape[0]),
         ],
         out_specs=[ray_spec] * n_out,
         out_shape=out_shapes,
@@ -1673,8 +1327,8 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(*ins, *nee_ins, *amask_ins, lod2, solid, dist3, dist4, rankb, occm,
-      occb, mlo, mhi, colors, pal, sun, lod2g, sung)
+    )(*ins, *nee_ins, *amask_ins, lod2, solid, dist3, rankb, occm,
+      occb, mlo, mhi, colors, pal, sun)
 
     def pack3(x, y, z):
         """Vector outputs follow the input layout: V3 in -> V3 out."""

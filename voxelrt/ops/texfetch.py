@@ -45,48 +45,6 @@ def pack_rgb_bf16(img: np.ndarray) -> np.ndarray:
     return words
 
 
-RGB9E5_MAX = 65408.0  # 511/512 * 2^16
-
-
-def pack_rgb9e5(img: np.ndarray) -> np.ndarray:
-    """f32 (..., 3) image -> flat u32[n_texels] in rgb9e5 shared-exponent
-    form (EXT_texture_shared_exponent), padded to a multiple of 1024 words.
-
-    One word per texel instead of pack_rgb_bf16's two: the stochastic sky
-    fetch then gathers half the words and its unroute sort carries ONE
-    payload. On the real example6 sky table rgb9e5 is also slightly MORE
-    accurate than bf16 (max abs err 0.00098 vs 0.00195 — the shared
-    exponent grants the dominant channel a 9-bit mantissa)."""
-    c = np.clip(np.asarray(img, np.float32).reshape(-1, 3), 0.0, RGB9E5_MAX)
-    maxc = c.max(axis=-1)
-    e = np.clip(np.floor(np.log2(np.maximum(maxc, 1e-30))) + 1, -15, 16)
-    m = np.round(c / (2.0 ** (e - 9))[:, None])
-    ov = m.max(axis=-1) > 511  # round-up crossed the mantissa range
-    e = e + ov
-    m = np.minimum(np.round(c / (2.0 ** (e - 9))[:, None]), 511)
-    m = m.astype(np.uint32)
-    words = (
-        m[:, 0] | (m[:, 1] << 9) | (m[:, 2] << 18)
-        | ((e.astype(np.int32) + 15).astype(np.uint32) << 27)
-    ).astype(np.uint32)
-    pad = (-len(words)) % 1024
-    if pad:
-        words = np.concatenate([words, np.zeros(pad, np.uint32)])
-    return words
-
-
-def unpack_rgb9e5_soa(w):
-    """Decode pack_rgb9e5 words to (r, g, b) f32 component arrays. The
-    2^(e-24) scale is built by exponent-field bitcast (exact, no exp2)."""
-    w = w.astype(jnp.int32)
-    eb = ((w >> 27) & 31) + jnp.int32(127 - 24)
-    scale = jax.lax.bitcast_convert_type(eb << 23, jnp.float32)
-    r = (w & 511).astype(jnp.float32) * scale
-    g = ((w >> 9) & 511).astype(jnp.float32) * scale
-    b = ((w >> 18) & 511).astype(jnp.float32) * scale
-    return r, g, b
-
-
 def _gather_1024(table_slab, word_idx):
     lane = word_idx & 127
     sub = (word_idx >> 7) & 7
@@ -259,60 +217,6 @@ def point_fetch_words(packed_words, texel_word_idx, interpret: bool = False):
         interpret=interpret,
     )(widp, tab)
     return [x.reshape(npad)[:n] for x in outs]
-
-
-def _point1_kernel(wid_ref, tab_ref, w_ref):
-    """Single-word variant of _point_kernel for one-word-per-texel tables
-    (rgb9e5): half the gather rounds of the pair fetch."""
-    wid = wid_ref[0]
-    slab = wid >> 10
-    BIGI = jnp.int32(0x7FFFFFFF)
-    ones = jnp.ones(wid.shape, jnp.int32)
-    z = jnp.zeros(wid.shape, jnp.int32)
-
-    def cond(c):
-        return c[1] != BIGI
-
-    def body(c):
-        w, sid, remaining = c
-        wanted = (remaining != 0) & (slab == sid)
-        g = _gather_1024(tab_ref[pl.ds(sid * 8, 8), :], wid & 1023)
-        w = jnp.where(wanted, g, w)
-        remaining = remaining & ~wanted.astype(jnp.int32)
-        nsid = jnp.min(jnp.where(remaining != 0, slab, BIGI))
-        return w, nsid, remaining
-
-    w, _, _ = jax.lax.while_loop(cond, body, (z, jnp.min(slab), ones))
-    w_ref[0] = w
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def point_fetch_word(packed_words, texel_idx, interpret: bool = False):
-    """Fetch ONE u32 table word per lane (rgb9e5 tables: word index ==
-    texel id). Same contract as point_fetch_words otherwise."""
-    n = texel_idx.shape[0]
-    pad = (-n) % BLOCK
-    npad = n + pad
-    widp = jnp.pad(texel_idx, (0, pad)).reshape(-1, SUBLANES, LANES)
-    nb = npad // BLOCK
-
-    ray_spec = pl.BlockSpec((1, SUBLANES, LANES), lambda b: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
-    tab = packed_words.reshape(-1, LANES).astype(jnp.int32)
-    tab_spec = pl.BlockSpec((tab.shape[0], LANES), lambda b: (0, 0),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        _point1_kernel,
-        grid=(nb,),
-        in_specs=[ray_spec, tab_spec],
-        out_specs=ray_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, SUBLANES, LANES), jnp.int32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(widp, tab)
-    return out.reshape(npad)[:n]
 
 
 def unpack_words_rgb(w0, w1):

@@ -205,8 +205,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
     ``iters`` is returned in SORTED order (reduction-compatible only — the
     renderer never reads it per-ray).
     """
-    from voxelrt.ops.dda_pallas import (_morton3, PallasTraceResult,
-                                        raytrace_pallas)
+    from voxelrt.ops.dda_pallas import _morton3, raytrace_pallas
 
     n = origin.shape[0]
     r2 = cfg.grid_res // 4
@@ -227,56 +226,18 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
         num_keys=1, is_stable=False,
     )
     stmax = jnp.where(skey != DEAD, jnp.float32(INF), 0.0)
-    p1 = cfg.dda_phase1_advances
     so = V3(o0, o1, o2)
     sd = V3(d0, d1, d2)
     tr = raytrace_pallas(
-        tables, so, sd, tmin, stmax, cfg.grid_res,
-        min(p1, cfg.max_dda_advances) if p1 else cfg.max_dda_advances,
+        tables, so, sd, tmin, stmax, cfg.grid_res, cfg.max_dda_advances,
         fetch_colors=not shadow_ray, any_hit=shadow_ray,
         use_sun_open=sun_shadow,
-        queue_depth=1 if p1 else cfg.dda_queue_depth,
+        queue_depth=cfg.dda_queue_depth,
         refill_every=cfg.dda_refill_every,
         march_unroll=cfg.dda_march_unroll,
         fetch_cadence=cfg.dda_fetch_cadence,
-        mixed_scan=cfg.dda_mixed_scan,
-        resolve_inc=cfg.dda_resolve_inc,
-        solid_retire=cfg.dda_solid_retire == "on",
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
     )
-    if p1 and p1 < cfg.max_dda_advances:
-        # Two-phase traversal: phase 1 ran with a small advance budget, so
-        # no lock-step block waits long for straggler rays; the few
-        # unfinished rays resume here against the full budget. They stay in
-        # phase-1 sorted order WITHOUT recompacting: stragglers live in
-        # dense geometry, which the morton sort already clusters into few
-        # blocks — the rest of the phase-2 blocks are all-dead and exit
-        # after the init step (no extra multi-payload sort needed).
-        # Phase 2 gets the REMAINING advance budget (a resumed ray's advance
-        # counter restarts at 0) so the configured traversal bound holds
-        # across both phases.
-        tr2 = raytrace_pallas(
-            tables, so, sd, tmin, stmax, cfg.grid_res,
-            cfg.max_dda_advances - p1,
-            fetch_colors=not shadow_ray, any_hit=shadow_ray,
-            use_sun_open=sun_shadow,
-            march_unroll=cfg.dda_march_unroll,
-            fetch_cadence=cfg.dda_fetch_cadence,
-            mixed_scan=cfg.dda_mixed_scan,
-            resolve_inc=cfg.dda_resolve_inc,
-            solid_retire=cfg.dda_solid_retire == "on",
-            interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
-            resume_state=(tr.distance, tr.normal, tr.active),
-        )
-        a = tr.active != 0
-        tr = PallasTraceResult(
-            distance=jnp.where(a, tr2.distance, tr.distance),
-            ipos=vwhere(a, tr2.ipos, tr.ipos),
-            normal=vwhere(a, tr2.normal, tr.normal),
-            iters=tr.iters + jnp.where(a, tr2.iters, 0),
-            color_word=jnp.where(a, tr2.color_word, tr.color_word),
-            active=tr2.active,
-        )
     if shadow_ray:
         _, dist = jax.lax.sort([sidx, tr.distance], num_keys=1,
                                is_stable=False)
@@ -390,12 +351,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 march_unroll=cfg.dda_march_unroll,
                 fetch_cadence=cfg.dda_fetch_cadence,
                 sun_mode=cfg.dda_sun_mode,
-                march_group=cfg.dda_march_group,
                 resolve_steps=cfg.dda_resolve_steps,
-                resolve_inc=cfg.dda_resolve_inc,
-                resolve_chain=cfg.dda_resolve_chain,
-                mixed_scan=cfg.dda_mixed_scan,
-                solid_retire=cfg.dda_solid_retire == "on",
                 nee_src_open=cfg.dda_nee_src_open == "on",
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,

@@ -105,9 +105,6 @@ class SkyData(NamedTuple):
     # None on the portable path.
     packed_scatt: jax.Array | None = None
     packed_trans: jax.Array | None = None
-    # rgb9e5 one-word-per-texel scattering copy (ops/texfetch.pack_rgb9e5):
-    # the stochastic fetch gathers half the words and unroutes ONE payload.
-    packed_scatt9: jax.Array | None = None
 
 
 # --- geometry helpers -------------------------------------------------------
@@ -682,21 +679,12 @@ def _sample_skybox_stochastic(cfg, sky, d, u3, scattered, want_trans):
     tex = jnp.mod(px, res) * res + jnp.mod(py, res)
 
     if _use_texfetch(cfg, sky):
-        from voxelrt.ops.texfetch import (point_fetch_word,
-                                          point_fetch_words,
-                                          unpack_rgb9e5_soa,
+        from voxelrt.ops.texfetch import (point_fetch_words,
                                           unpack_words_rgb_soa)
 
-        one_word = sky.packed_scatt9 is not None and cfg.sky_rgb9e5
-
         def fetch_scatt(wid):
-            """Scattering texel fetch: one rgb9e5 word when the one-word
-            table exists, else the bf16 word pair. Returns (words..,
-            decode)."""
-            if one_word:
-                w = point_fetch_word(sky.packed_scatt9, wid,
-                                     interpret=cfg.pallas_interpret)
-                return (w,), unpack_rgb9e5_soa
+            """Scattering texel fetch: the bf16 word pair. Returns
+            (words.., decode)."""
             w0, w1 = point_fetch_words(sky.packed_scatt, wid * 2,
                                        interpret=cfg.pallas_interpret)
             return (w0, w1), unpack_words_rgb_soa
@@ -945,15 +933,9 @@ def prepare_sky(cfg, sun_dir, sun_col, cos_max, quiet=False,
             scatt_np = np.asarray(sky.skybox_scattering)
         if trans_np is None:
             trans_np = np.asarray(sky.skybox_transmittance)
-        scatt9 = None
-        if cfg.sky_rgb9e5:
-            from voxelrt.ops.texfetch import pack_rgb9e5
-
-            scatt9 = jnp.asarray(pack_rgb9e5(scatt_np))
         return sky._replace(
             packed_scatt=jnp.asarray(pack_rgb_bf16(scatt_np)),
             packed_trans=jnp.asarray(pack_rgb_bf16(trans_np)),
-            packed_scatt9=scatt9,
         )
 
     key_str = _cache_key(cfg, sun_dir, sun_col, cos_max, cloud_tex)
