@@ -94,11 +94,19 @@ def main():
     print(f"dp8 == single-device at {RES[0]}x{RES[1]}: "
           f"max abs diff {np.abs(c8 - c1).max():.2e}")
 
-    # --- moving frame (temporal window filters => halo traffic) -------------
+    # --- moving frame --------------------------------------------------------
+    # OLD policy (kept dp-sharded): GSPMD exchanges history/motion tables.
     mv_lowered = pipeline.accumulate_n.lower(
         cfg, scene_r, params_r, s8, key, True, 0.5, 1)
     mv_hlo = mv_lowered.compile().as_text()
     mv_coll = collective_inventory(mv_hlo)
+    # NEW policy (sharding.sharded_accumulate_n): moving frames run
+    # replicated — lower the same step with the state replicated.
+    s8_r = sharding.replicate(s8, mesh8)
+    mvr_lowered = pipeline.accumulate_n.lower(
+        cfg, scene_r, params_r, s8_r, key, True, 0.5, 1)
+    mvr_hlo = mvr_lowered.compile().as_text()
+    mvr_coll = collective_inventory(mvr_hlo)
 
     # --- per-device cost ----------------------------------------------------
     try:
@@ -129,14 +137,18 @@ def main():
         lines.append(f"    - {kind}  {shape}  ({b / 1e3:.1f} KB)")
     if len(coll) > 12:
         lines.append(f"    - ... {len(coll) - 12} more")
-    lines.append(f"- **Moving-frame step** (temporal window filters + "
-                 f"resample at render_scale 0.5): {len(mv_coll)} collectives, "
-                 f"{mv_bytes / 1e6:.0f} MB — camera motion reprojects "
-                 f"history from arbitrary rows, so GSPMD exchanges the "
-                 f"history/motion tables across shards. Progressive stills "
-                 f"(the headline workload) pay none of this; a multi-chip "
-                 f"INTERACTIVE session should replicate the history buffers "
-                 f"or shard samples (sp) instead while moving.")
+    mvr_bytes = sum(b for _, _, b in mvr_coll)
+    lines.append(f"- **Moving-frame step**: dp-sharded (the round-4 "
+                 f"pathology) {len(mv_coll)} collectives / "
+                 f"{mv_bytes / 1e6:.0f} MB per step — camera motion "
+                 f"reprojects history from arbitrary rows, so GSPMD "
+                 f"exchanges the history/motion tables across shards. "
+                 f"**Shipped policy** (sharding.sharded_accumulate_n runs "
+                 f"moving frames REPLICATED; history resets on move/stop "
+                 f"transitions so nothing crosses phases): "
+                 f"{len(mvr_coll)} collectives / {mvr_bytes / 1e3:.1f} KB "
+                 f"per moving step, plus a one-time state all-gather at "
+                 f"the still→moving transition.")
     lines.append(f"- **Per-device FLOPs** (XLA cost model, whole step): "
                  f"{flops / 1e9:.2f} GF total; the render is "
                  f"embarrassingly parallel over pixel rows.")

@@ -23,6 +23,25 @@ def tiny_config(**overrides) -> RenderConfig:
     return RenderConfig(**base)
 
 
+def production_test_config(**overrides) -> RenderConfig:
+    """The PRODUCTION feature set on test shapes: the Pallas traversal
+    kernel (interpret mode for CPU hosts), queued wavefront + in-kernel
+    NEE, and the physical sky + cloud pipeline at test-sized knobs. The
+    multichip dryrun/tests use this so the thing being sharded is the real
+    render path, not the portable-DDA smoke configuration."""
+    base = dict(
+        image_res=(64, 32), grid_res=32, voxel_dx=1.0 / 16.0,
+        dda_block_rows=8, dda_queue_depth=2,
+        use_pallas_dda=True, pallas_interpret=True,
+        use_physical_sky=True, use_clouds=True,
+        skybox_res=64, sky_steps=4, sky_sun_samples=2, sky_ms_samples=2,
+        sky_ms_steps=2, cloud_steps=4, cloud_sun_samples=2,
+        cloud_shadow_steps=2, cloud_accum_passes=2,
+    )
+    base.update(overrides)
+    return RenderConfig(**base)
+
+
 def make_test_world(cfg: RenderConfig, seed=0) -> VoxelWorld:
     """A platform + pillars + emissive blocks scene (example1-flavoured)."""
     rng = np.random.default_rng(seed)
@@ -43,15 +62,46 @@ def make_test_world(cfg: RenderConfig, seed=0) -> VoxelWorld:
     return world
 
 
+# Light constants shared by make_scene_data (sun-open table / sky sun) and
+# make_params — they must agree for in-kernel NEE + sky tests to be
+# meaningful.
+TEST_LIGHT_DIR = (1.0, 1.0, 1.0)
+TEST_LIGHT_COLOR = (1.0, 0.95, 0.9)
+TEST_CONE_COS = float(np.cos(0.05))
+
+
 def make_scene_data(cfg: RenderConfig, world: VoxelWorld | None = None,
                     seed=0) -> SceneData:
     world = world or make_test_world(cfg, seed)
     arrays = world.device_arrays()
+    ld = np.asarray(TEST_LIGHT_DIR, np.float64)
+    ld = ld / np.linalg.norm(ld)
+    sky = None
+    if cfg.use_physical_sky:
+        from voxelrt.sky.atmos import prepare_sky
+
+        sky = prepare_sky(
+            cfg, ld.astype(np.float32),
+            np.asarray(TEST_LIGHT_COLOR, np.float32) * cfg.light_weight,
+            TEST_CONE_COS, quiet=True,
+        )
+    tables = None
+    if cfg.use_pallas_dda:
+        from voxelrt.ops.accel import add_sun_open_table, build_pallas_tables
+
+        tables = build_pallas_tables(
+            world.material, arrays["voxels_np"], cfg.grid_res
+        )
+        if cfg.use_directional_light:
+            tables = add_sun_open_table(
+                tables, world.material, ld, TEST_CONE_COS
+            )
     return SceneData(
         occ_words=arrays["occ_words"],
         voxels=arrays["voxels"],
         mat_params=MaterialList().params,
-        sky=None,
+        sky=sky,
+        tables=tables,
     )
 
 
@@ -59,7 +109,7 @@ def make_params(cfg: RenderConfig, camera_pos=(0.4, 0.5, 2.0),
                 look_at=(0.0, 0.0, 0.0)) -> RenderParams:
     proj = perspective_matrix(cfg.fov, cfg.aspect_ratio, cfg.z_near, cfg.z_far)
     view = look_at_matrix(camera_pos, look_at, (0, 1, 0))
-    light = np.array([1.0, 1.0, 1.0])
+    light = np.array(TEST_LIGHT_DIR, np.float64)
     light /= np.linalg.norm(light)
     return RenderParams(
         camera_pos=jnp.asarray(camera_pos, jnp.float32),
@@ -71,8 +121,8 @@ def make_params(cfg: RenderConfig, camera_pos=(0.4, 0.5, 2.0),
         prev_view=jnp.asarray(view),
         prev_camera_pos=jnp.asarray(camera_pos, jnp.float32),
         light_direction=jnp.asarray(light, jnp.float32),
-        light_cone_cos_theta_max=jnp.float32(np.cos(0.05)),
-        light_color=jnp.asarray([1.0, 0.95, 0.9], jnp.float32),
+        light_cone_cos_theta_max=jnp.float32(TEST_CONE_COS),
+        light_color=jnp.asarray(TEST_LIGHT_COLOR, jnp.float32),
         floor_height=jnp.float32(-0.1),
         floor_color=jnp.asarray([0.8, 0.8, 0.85], jnp.float32),
         floor_material=jnp.int32(1),

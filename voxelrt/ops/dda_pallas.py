@@ -885,54 +885,60 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                     open_s = ((wsun_s >> (oi & 31)) & 1) != 0
                     return conv & (~alive_s | open_s)
 
-            @pl.when(do_ref)
-            def _write_retired():
+            def do_refill():
+                # One region both WRITES the retired results to their chunk
+                # rows and computes the refilled loop carry: the conversion
+                # decision (``nee_conv_data``) and the instant sun-open
+                # verdict (``nee_instant``) are computed ONCE — the previous
+                # two-region form (a pl.when for the writes plus a lax.cond
+                # for the carry) duplicated both per refill round, and
+                # Mosaic does not CSE across control-flow regions.
                 cur = s["cursor"]
-                for k in range(C):
-                    selk = prim_ret & (cur == k)
-                    t_ref[0, k] = jnp.where(selk, out_t, t_ref[0, k])
-                    word_ref[0, k] = jnp.where(selk, out_word, word_ref[0, k])
-                    af_ref[0, k] = jnp.where(selk, out_af, af_ref[0, k])
                 if nee_mode:
-                    conv, sp_c, ld_c = nee_conv_data()
+                    conv0, (spx, spy, spz), (ldx, ldy, ldz) = nee_conv_data()
+                    if nee_src_open:
+                        inst = nee_instant(conv0, (spx, spy, spz),
+                                           (ldx, ldy, ldz))
+                        # instantly-verdicted shadows never load: the slot
+                        # advances to its next queued ray at this refill.
+                        conv = conv0 & ~inst
+                        novis = prim_ret & (~conv0 | inst)
+                        mark = jnp.where(inst, (1 << 20) | (1 << 21),
+                                         1 << 20)
+                    else:
+                        conv = conv0
+                        novis = prim_ret & ~conv0
+                        mark = jnp.full(conv0.shape, 1 << 20, jnp.int32)
                     # shadow verdict: visible ⇔ escaped (no hit, no budget
                     # exhaustion — matching the two-dispatch formulation
                     # where a finite distance means occluded)
                     vis = ((((out_af >> 17) & 1) == 0)
                            & (((out_af >> 18) & 1) == 0)).astype(jnp.int32)
                     nee_bits = (1 << 20) | (vis << 21)
+                    # Single af chain: primaries SET their packed result
+                    # (novis ⊆ prim_ret additionally ORs its nee mark);
+                    # retired shadows OR their verdict into the already-
+                    # written word.
+                    or_val = jnp.where(shad_ret, nee_bits,
+                                       jnp.where(novis, mark, 0))
+                    do_or = shad_ret | novis
                     for k in range(C):
-                        selk = shad_ret & (cur == k)
-                        af_ref[0, k] = jnp.where(
-                            selk, af_ref[0, k] | nee_bits, af_ref[0, k])
-                    # primaries with no surface (sky escape / dead input):
-                    # mark nee done + invisible right at the primary write.
-                    # With nee_src_open, instantly-retired shadows (sun-open
-                    # entry cell / AABB miss) fold into the same chain with
-                    # the done+VISIBLE mark.
-                    if nee_src_open:
-                        inst = nee_instant(conv, sp_c, ld_c)
-                        novis = prim_ret & (~conv | inst)
-                        mark = jnp.where(inst, (1 << 20) | (1 << 21),
-                                         1 << 20)
-                    else:
-                        novis = prim_ret & ~conv
-                        mark = jnp.full(conv.shape, 1 << 20, jnp.int32)
-                    for k in range(C):
-                        selk = novis & (cur == k)
-                        af_ref[0, k] = jnp.where(
-                            selk, af_ref[0, k] | mark, af_ref[0, k])
-
-            def do_refill():
-                if nee_mode:
-                    conv, (spx, spy, spz), (ldx, ldy, ldz) = nee_conv_data()
-                    if nee_src_open:
-                        # instantly-verdicted shadows never load: the slot
-                        # advances to its next queued ray at this refill.
-                        conv = conv & ~nee_instant(
-                            conv, (spx, spy, spz), (ldx, ldy, ldz))
+                        selk = prim_ret & (cur == k)
+                        t_ref[0, k] = jnp.where(selk, out_t, t_ref[0, k])
+                        word_ref[0, k] = jnp.where(selk, out_word,
+                                                   word_ref[0, k])
+                        af_ref[0, k] = (
+                            jnp.where(selk, out_af, af_ref[0, k])
+                            | jnp.where(do_or & (cur == k), or_val, 0)
+                        )
                     advance = (prim_ret & ~conv) | shad_ret
                 else:
+                    for k in range(C):
+                        selk = prim_ret & (cur == k)
+                        t_ref[0, k] = jnp.where(selk, out_t, t_ref[0, k])
+                        word_ref[0, k] = jnp.where(selk, out_word,
+                                                   word_ref[0, k])
+                        af_ref[0, k] = jnp.where(selk, out_af, af_ref[0, k])
                     advance = prim_ret
                 ncur = jnp.where(advance, next_alive(s["cursor"]),
                                  s["cursor"])

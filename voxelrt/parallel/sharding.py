@@ -68,10 +68,28 @@ def replicate(tree, mesh: Mesh):
 
 def sharded_accumulate_n(cfg, scene, params, state, key, camera_is_moving,
                          render_scale, n_samples, mesh):
-    """Full progressive step with the image sharded over 'dp' (GSPMD)."""
+    """Full progressive step with the image sharded over 'dp' (GSPMD).
+
+    MOVING frames run fully REPLICATED instead (every device computes the
+    whole reduced-res frame; zero per-frame collectives). Rationale: with
+    the image dp-sharded, camera motion reprojects history from arbitrary
+    pixel rows and GSPMD exchanges the full history/motion tables every
+    step (measured 120 collectives / 833 MB per moving step at 720p,
+    PARALLEL.md round 4). A moving frame is latency-bound (0.5× render
+    scale, 1 spp, ≤50-frame history) — sharding it buys little, and the
+    motion policy resets history on move/stop transitions
+    (app/headless.py, mirroring scene.py:220-226), so no accumulated
+    content ever crosses between the replicated moving phase and the
+    dp-sharded still phase. The one-time cost is an all-gather of the
+    state at the still→moving transition (the device_put below; ~MBs);
+    per-frame traffic while moving is zero.
+    """
     scene = replicate(scene, mesh)
     params = replicate(params, mesh)
-    state = shard_state(state, mesh)
+    if camera_is_moving:
+        state = replicate(state, mesh)
+    else:
+        state = shard_state(state, mesh)
     return pipeline.accumulate_n(
         cfg, scene, params, state, key, camera_is_moving, render_scale,
         n_samples,
@@ -126,5 +144,9 @@ def parallel_render(cfg, scene, params, key, spp, mesh,
         mesh=mesh,
         in_specs=(P(), P(), P("dp", None), P("dp", None), P()),
         out_specs=P("dp", None, None),
+        # pallas_call outputs carry no varying-mesh-axes annotation; the
+        # per-shard traversal kernel is replicated code on sharded rays, so
+        # the static vma check is disabled rather than threaded through it.
+        check_vma=False,
     )
     return fn(replicate(scene, mesh), replicate(params, mesh), u, v, key)
