@@ -121,7 +121,7 @@ def main():
     mv_bytes = sum(b for _, _, b in mv_coll)
 
     lines = []
-    lines.append("## Full-resolution GSPMD validation (round 4, "
+    lines.append("## Full-resolution GSPMD validation (round 5, "
                  "8-device host mesh)\n")
     lines.append(f"`tools/multichip_report.py` — full progressive step "
                  f"(render + temporal pipeline) at {RES[0]}x{RES[1]}, "

@@ -125,7 +125,11 @@ class RenderConfig:
     # measured +13% on the sun-shadow load. Coherent primary rays bypass
     # the queue (no straggler spread to hide). 1 disables.
     dda_queue_depth: int = int(os.environ.get("VOXELRT_DDA_QUEUE", "32"))
-    dda_refill_every: int = 3
+    # Refill cadence 2 since the single-region refill (round 5): with the
+    # write+carry chains merged and the NEE conversion deduplicated, more
+    # frequent refills (less retired-slot idling) win — full 512-spp runs
+    # read 15.86 / 16.00 / 16.36 s at cadence 2 / 3 / 4 on example6 @720p.
+    dda_refill_every: int = 2
 
     # Grid advances per kernel loop iteration (march unroll): extra
     # march-only segments re-gather occupancy and advance again within one
