@@ -90,10 +90,82 @@ def sharded_accumulate_n(cfg, scene, params, state, key, camera_is_moving,
         state = replicate(state, mesh)
     else:
         state = shard_state(state, mesh)
+    trace_fn = None
+    if cfg.use_pallas_dda and not camera_is_moving:
+        # The Pallas traversal kernel is an opaque custom call: GSPMD can
+        # only all-gather its operands and run it replicated (measured 105
+        # collectives / 11.6 MB per 256×144 sample, PARALLEL.md round 5).
+        # Substituting a shard_map-wrapped trace runs the kernel
+        # shard-local over the wavefront's lane axis — per-lane outputs
+        # are bitwise identical (counter-based RNG keyed on global pixel
+        # ids; the deferred-sky route sorts are shard-internal
+        # permutations) — while the gather-based temporal pipeline stays
+        # GSPMD (it needs the partitioner's automatic halo exchanges).
+        trace_fn = make_sharded_trace(mesh)
     return pipeline.accumulate_n(
         cfg, scene, params, state, key, camera_is_moving, render_scale,
-        n_samples,
+        n_samples, trace_fn=trace_fn,
     )
+
+
+_SHARDED_TRACE_CACHE = {}
+
+
+def make_sharded_trace(mesh: Mesh):
+    """A drop-in for render.pathtracer.trace_sample that runs shard-local
+    over every mesh axis (flat wavefront lanes split into contiguous
+    chunks). Falls back to the plain trace when the lane count does not
+    divide the mesh. Cached per mesh so accumulate_n's static trace_fn
+    argument hashes stably across calls."""
+    cached = _SHARDED_TRACE_CACHE.get(mesh)
+    if cached is not None:
+        return cached
+
+    from voxelrt.render.pathtracer import trace_sample
+
+    axes = tuple(mesh.axis_names)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+    lane_spec = P(axes)
+
+    def trace_fn(cfg, scene, params, key, u, v, camera_is_moving,
+                 render_scale, sample_keys=None, jitter_u=None):
+        if u.shape[0] % n_shards:
+            return trace_sample(cfg, scene, params, key, u, v,
+                                camera_is_moving, render_scale,
+                                sample_keys=sample_keys, jitter_u=jitter_u)
+        has_sk = sample_keys is not None
+        has_ju = jitter_u is not None
+
+        def inner(scene, params, key, u, v, *rest):
+            it = iter(rest)
+            sk = next(it) if has_sk else None
+            ju = (next(it), next(it)) if has_ju else None
+            return trace_sample(cfg, scene, params, key, u, v,
+                                camera_is_moving, render_scale,
+                                sample_keys=sk, jitter_u=ju)
+
+        rest = []
+        rest_specs = []
+        if has_sk:
+            rest.append(sample_keys)
+            rest_specs.append(lane_spec)
+        if has_ju:
+            rest.extend([jitter_u[0], jitter_u[1]])
+            rest_specs.extend([lane_spec, lane_spec])
+        fn = jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P(), P(), lane_spec, lane_spec, *rest_specs),
+            out_specs=lane_spec,
+            # pallas_call outputs carry no varying-mesh-axes annotation
+            # (same waiver as parallel_render).
+            check_vma=False,
+        )
+        return fn(scene, params, key, u, v, *rest)
+
+    _SHARDED_TRACE_CACHE[mesh] = trace_fn
+    return trace_fn
 
 
 def parallel_render(cfg, scene, params, key, spp, mesh,

@@ -172,7 +172,8 @@ def wavefront_constants(cfg, render_scale):
 
 def accumulate(cfg, scene: SceneData, params: RenderParams,
                state: RenderState, key, camera_is_moving: bool,
-               render_scale: float, wf=None) -> RenderState:
+               render_scale: float, wf=None,
+               trace_fn=None) -> RenderState:
     """One progressive frame for every pixel (renderer/pathtracer.py:1310-1319).
 
     Traces ``cfg.samples_per_launch`` fresh path samples (the reference
@@ -180,8 +181,16 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
     accumulation by that weight — amortizing the G-buffer/temporal/XLA-glue
     cost across samples without changing the converged image.
 
+    ``trace_fn``: optional replacement for :func:`trace_sample` with the
+    same signature — parallel.sharding substitutes a shard_map-wrapped
+    trace so the Pallas traversal kernel (an opaque custom call the GSPMD
+    partitioner can only all-gather around) runs shard-local over the mesh
+    while the (gather-based, partitioner-friendly) temporal pipeline stays
+    GSPMD. Per-lane trace outputs are identical either way.
+
     Static args: cfg, camera_is_moving, render_scale.
     """
+    tracef = trace_fn or trace_sample
     w, h = cfg.image_res
     # TPU-first render scaling: trace ONLY the active-res wavefront and
     # embed the results into the top-left of the full-res buffers. The
@@ -202,8 +211,8 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
         # The GRIS pass consumes one reservoir per sample.
         assert k_samples == 1, "samples_per_launch must be 1 with ReSTIR-PT"
     if k_samples == 1:
-        out = trace_sample(cfg, scene, params, key, u, v,
-                           camera_is_moving, render_scale)
+        out = tracef(cfg, scene, params, key, u, v,
+                     camera_is_moving, render_scale)
     else:
         # Batched wavefront: all k samples' rays traced as ONE SoA wavefront
         # (k·n rays) so the sorted traversal dispatches see k× the ray
@@ -246,7 +255,7 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
             )(skeys)
             jrows = per_sample_rows(ju)
             jitter_u = (jrows[:, 0], jrows[:, 1])
-        out = trace_sample(
+        out = tracef(
             cfg, scene, params, key,
             uu, vv,
             camera_is_moving, render_scale,
@@ -361,11 +370,12 @@ def accumulate(cfg, scene: SceneData, params: RenderParams,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "camera_is_moving", "render_scale", "n_samples"),
+    static_argnames=("cfg", "camera_is_moving", "render_scale", "n_samples",
+                     "trace_fn"),
     donate_argnames=("state",),
 )
 def accumulate_n(cfg, scene, params, state, key, camera_is_moving,
-                 render_scale, n_samples: int):
+                 render_scale, n_samples: int, trace_fn=None):
     """Accumulate ``n_samples`` path samples inside one jitted call —
     amortizes the per-dispatch overhead (34 ms on the tunneled TPU,
     PERF_NOTES.md). Runs ceil(n_samples / samples_per_launch) frames."""
@@ -378,7 +388,8 @@ def accumulate_n(cfg, scene, params, state, key, camera_is_moving,
 
     def step(i, st):
         return accumulate(cfg, scene, params, st, jax.random.fold_in(key, i),
-                          camera_is_moving, render_scale, wf=wf)
+                          camera_is_moving, render_scale, wf=wf,
+                          trace_fn=trace_fn)
 
     return jax.lax.fori_loop(0, n_frames, step, state)
 
