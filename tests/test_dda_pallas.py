@@ -553,105 +553,3 @@ def test_nee_src_open_matches_plain():
         # the feature must have verdicts to write: some shadows visible
         assert np.asarray(b.nee_visible).sum() > 0
 
-
-def test_block_march_matches_cell_march():
-    """dda_block_march (round 5): the dist3-only march + in-register 8³
-    block resolve must be BITWISE identical to the cell-granular march on
-    every output except iteration counts (block skips and cell crawls
-    partition advances differently) — the cell/voxel visit sequence is the
-    same watertight math either way."""
-    import math
-
-    from voxelrt.ops.accel import add_sun_open_table
-    from voxelrt.ops.sampling import (make_orthonormal_basis,
-                                      sample_cone_oriented)
-
-    fields = ("distance", "ipos", "normal", "color_word", "active")
-    for seed, fill in ((0, 0.03), (1, 0.15), (2, 0.4)):
-        res = 32
-        world, tables, pyr, arrays = make_setup(res, fill, seed)
-        rng = np.random.default_rng(seed + 10)
-        n = 2048
-        o = np.where(
-            rng.random((n, 1)) < 0.5,
-            rng.uniform(-res, 2 * res, (n, 3)),
-            rng.uniform(0, res, (n, 3)),
-        ).astype(np.float32)
-        d = rng.normal(size=(n, 3)).astype(np.float32)
-        d /= np.linalg.norm(d, axis=1, keepdims=True)
-        for kw in (dict(),
-                   dict(queue_depth=4, refill_every=2, march_unroll=2,
-                        fetch_cadence=1)):
-            a = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
-                                1e-6, np.inf, res, interpret=True, **kw)
-            b = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d),
-                                1e-6, np.inf, res, interpret=True,
-                                block_march=True, **kw)
-            for f in fields:
-                np.testing.assert_array_equal(
-                    np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
-                    err_msg=f"{seed}/{fill} {kw} {f}")
-        sa = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
-                             np.inf, res, interpret=True, any_hit=True,
-                             fetch_colors=False, queue_depth=4,
-                             refill_every=2)
-        sb = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
-                             np.inf, res, interpret=True, any_hit=True,
-                             fetch_colors=False, queue_depth=4,
-                             refill_every=2, block_march=True)
-        np.testing.assert_array_equal(np.isfinite(np.asarray(sa.distance)),
-                                      np.isfinite(np.asarray(sb.distance)))
-
-    # In-kernel NEE + sun certificates: primary outputs equal the plain
-    # block dispatch, verdicts equal an independent block any-hit dispatch.
-    res = 32
-    world, tables, pyr, arrays = make_setup(res, 0.10, 11)
-    L = np.array([1.0, 1.0, -1.0])
-    L /= np.linalg.norm(L)
-    cone_cos = math.cos(0.025 * 0.5)
-    tables = add_sun_open_table(tables, world.material, L, cone_cos)
-    rng = np.random.default_rng(77)
-    n = 4096
-    o = rng.uniform(0, res, (n, 3)).astype(np.float32)
-    d = rng.normal(size=(n, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    u = rng.random((n, 2)).astype(np.float32)
-    EPS = 1e-4
-    eps_grid = EPS * 16.0
-    Lj = jnp.asarray(L, jnp.float32)
-    X, Y = make_orthonormal_basis(Lj)
-    nee = dict(u=jnp.asarray(u), alt_t=jnp.asarray(np.full(n, np.inf,
-                                                           np.float32)),
-               light_dir=Lj, tangent=X, bitangent=Y, cone_cos=cone_cos,
-               eps_grid=eps_grid, shadow_tmin=EPS)
-    b = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6, np.inf,
-                        res, interpret=True, block_march=True)
-    bd = np.asarray(b.distance)
-    hit = np.isfinite(bd)
-    nrm = np.asarray(b.normal)
-    spos = o + bd[:, None] * d + nrm * eps_grid
-    ld = np.asarray(sample_cone_oriented(
-        cone_cos, jnp.broadcast_to(Lj, (n, 3)), jnp.asarray(u)))
-    mask = hit & ((ld * nrm).sum(1) > 0)
-    sh = raytrace_pallas(
-        tables,
-        jnp.asarray(np.where(hit[:, None], spos, 0).astype(np.float32)),
-        jnp.asarray(ld), EPS,
-        jnp.asarray(np.where(mask, np.inf, 0.0).astype(np.float32)),
-        res, interpret=True, any_hit=True, fetch_colors=False,
-        use_sun_open=True, block_march=True)
-    vis_ref = mask & ~np.isfinite(np.asarray(sh.distance))
-    assert mask.sum() > 500
-    for sun_mode, src_open in (("all", False), ("half", True)):
-        a = raytrace_pallas(tables, jnp.asarray(o), jnp.asarray(d), 1e-6,
-                            np.inf, res, interpret=True, queue_depth=4,
-                            refill_every=2, march_unroll=2, fetch_cadence=1,
-                            nee=nee, sun_mode=sun_mode,
-                            nee_src_open=src_open, block_march=True)
-        for f in ("distance", "ipos", "normal", "color_word"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
-                err_msg=f"nee primary {f} {sun_mode}")
-        vis_got = np.asarray(a.nee_visible) != 0
-        np.testing.assert_array_equal(vis_got[mask], vis_ref[mask],
-                                      err_msg=f"verdict {sun_mode}")

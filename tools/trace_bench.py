@@ -81,9 +81,6 @@ def main():
     ap.add_argument("--sun", action="store_true",
                     help="bake the sun-open table and bench shadow rays "
                          "with the use_sun_open early-out")
-    ap.add_argument("--block", action="store_true",
-                    help="block-march mode (dist3-only probe + in-register "
-                         "8³-block resolve)")
     args = ap.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -218,7 +215,7 @@ def main():
                     queue_depth=args.queue, refill_every=args.refill,
                     march_unroll=args.unroll,
                     fetch_cadence=cadence, interpret=args.interpret,
-                    block_rows=args.rows, block_march=args.block,
+                    block_rows=args.rows,
                 )
                 return acc + jnp.sum(jnp.isfinite(r.distance)) + jnp.sum(r.iters)
 

@@ -145,17 +145,6 @@ class RenderConfig:
     dda_march_unroll: int = 2
     dda_fetch_cadence: int = 1
 
-    # BLOCK MARCH (round 5): the march's per-advance memory probe is the
-    # dist3 nibble alone (d3 == 0 ⇔ the 8³ block holds geometry), so the
-    # hot loop drops the 8-round LOD2 occupancy gather, candidate-B slab
-    # math and the cell-level sun dual-gather; rays inside occupied blocks
-    # are resolved a WHOLE BLOCK at a time in the fetch round (an
-    # in-register ≤4-cell DDA over an 8-bit child-cell byte chained into
-    # the usual voxel resolve). Cell/voxel sequences — and therefore all
-    # outputs — are bitwise identical to the cell-granular march; only
-    # iteration counts differ. See PERF_NOTES round 5 for measurements.
-    dda_block_march: bool = False
-
     # In-kernel-NEE sun-open early-out cadence: 'all' consults the
     # per-cell sun-escape certificate on every advance (the LOD2 gather
     # becomes a dual-table scan), 'half' only on the unrolled march

@@ -105,15 +105,6 @@ class PallasTables(NamedTuple):
     sun_open_words: "jax.Array"  # u32 (n2w,) bit = sun cone from this cell
     # provably escapes the voxel grid (see build_sun_open_bits); all-zero
     # until add_sun_open_table stamps a light direction
-    blk_cells: "jax.Array"  # u32 (r3³/4,) BLOCK-MARCH cell bytes: 8 bits per
-    # 8³ block (bit ((cz&1)*2+(cy&1))*2+(cx&1) = that child 4³ cell
-    # occupied), blocks z-major ((bz*r3+by)*r3+bx), 4 blocks per word. The
-    # block-march kernel resolves a whole 8³ block's cell path in registers
-    # from this byte, so the march itself never gathers LOD2 occupancy.
-    sun_open_blk: "jax.Array"  # u32 (r3³/32,) bit = ALL 8 child cells of the
-    # block are sun-open (conservative block-level form of sun_open_words,
-    # shares the march's dist3-indexed gather footprint: 1 lane-shuffle
-    # round at 128³)
     grid_res: int
 
 
@@ -270,19 +261,7 @@ def add_sun_open_table(tables: PallasTables, material_xyz: np.ndarray,
     )
     bits = build_sun_open_bits(occ_cells, light_dir, cone_cos)
     words = _pad_to(_pack_bits(bits.reshape(-1)), 128)
-    # Block-level certificate for the block-march kernel: a block is open
-    # only when all 8 child cells are (strictly conservative — retirement
-    # may come an advance later, verdicts are identical).
-    r3 = res // 8
-    blk_bits = (
-        bits.reshape(r3, 2, r3, 2, r3, 2)
-        .transpose(0, 2, 4, 1, 3, 5)
-        .reshape(r3 * r3 * r3, 8)
-        .all(axis=-1)
-    )
-    blk_words = _pad_to(_pack_bits(blk_bits), 128)
-    return tables._replace(sun_open_words=jnp.asarray(words),
-                           sun_open_blk=jnp.asarray(blk_words))
+    return tables._replace(sun_open_words=jnp.asarray(words))
 
 
 def build_pallas_tables(material_xyz: np.ndarray, color_words_zyx: np.ndarray,
@@ -369,15 +348,6 @@ def build_pallas_tables(material_xyz: np.ndarray, color_words_zyx: np.ndarray,
     )
     dist3 = _pack_nibbles(chebyshev_distance_field(occ3))
 
-    # Block-march cell bytes: occupied 4³-cell bits regrouped so one 8-bit
-    # field holds an 8³ block's 2×2×2 children (see PallasTables.blk_cells).
-    blk_bits = (
-        occupied.reshape(r3, 2, r3, 2, r3, 2)
-        .transpose(0, 2, 4, 1, 3, 5)
-        .reshape(r3 * r3 * r3 * 8)
-    )
-    blk_cells = _pack_bits(blk_bits)
-
     return PallasTables(
         lod2_words=jnp.asarray(_pad_to(lod2, 128)),
         solid_words=jnp.asarray(_pad_to(solid_w, 128)),
@@ -391,11 +361,6 @@ def build_pallas_tables(material_xyz: np.ndarray, color_words_zyx: np.ndarray,
         palette_words=jnp.asarray(palette_words),
         sun_open_words=jnp.asarray(
             np.zeros(len(_pad_to(lod2, 128)), np.uint32)
-        ),
-        blk_cells=jnp.asarray(_pad_to(blk_cells, 128)),
-        sun_open_blk=jnp.asarray(
-            np.zeros(len(_pad_to(_pack_bits(np.zeros(r3 * r3 * r3, np.uint8)),
-                                 128)), np.uint32)
         ),
         grid_res=res,
     )

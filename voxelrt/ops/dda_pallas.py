@@ -108,21 +108,6 @@ def _gather_words(table_ref, word_idx, n_words):
     return out
 
 
-def _gather_words3(ref_a, ref_b, ref_c, word_idx, n_words):
-    """Gather the same index from three parallel tables in one scan."""
-    rounds = -(-n_words // LANES)
-    lane = word_idx & 127
-    row_id = word_idx >> 7
-    outs = [jnp.zeros_like(word_idx) for _ in range(3)]
-    for k in range(rounds):
-        sel = row_id == k
-        for i, ref in enumerate((ref_a, ref_b, ref_c)):
-            row = jnp.broadcast_to(ref[k : k + 1, :], word_idx.shape)
-            g = jnp.take_along_axis(row, lane, axis=1)
-            outs[i] = jnp.where(sel, g, outs[i]) if rounds > 1 else g
-    return tuple(outs)
-
-
 def _gather_words2(ref_a, ref_b, word_idx, n_words):
     """Gather the same index from two parallel tables in one scan (shares
     the lane/row index math and the per-row select mask)."""
@@ -215,7 +200,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                      queue_depth=1, refill_every=4, nee_mode=False,
                      march_unroll=1, sun_mode="all",
                      slow_after=48, debug_totals=False,
-                     nee_src_open=False, block_march=False):
+                     nee_src_open=False):
     C = queue_depth
     queued = C > 1 or nee_mode
     if static_trange is None:
@@ -255,20 +240,18 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
     tbl0 = base_rays
     (lod2_ref, solid_ref, dist3_ref, rankb_ref, occm_ref,
      occb_ref, mlo_ref, mhi_ref, colors_ref, pal_ref,
-     sun_ref, blk_ref, sunb_ref) = refs[tbl0 : tbl0 + 13]
+     sun_ref) = refs[tbl0 : tbl0 + 11]
     if queued:
         # Queued mode writes PACKED per-chunk outputs (t, word, af, col);
         # the wrapper unpacks in XLA.
         assert not debug_totals
-        t_ref, word_ref, af_ref, col_ref = refs[tbl0 + 13 :]
+        t_ref, word_ref, af_ref, col_ref = refs[tbl0 + 11 :]
     else:
         (t_ref, ix_ref, iy_ref, iz_ref,
-         nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 13 :]
+         nx_ref, ny_ref, nz_ref, it_ref, col_ref, act_ref) = refs[tbl0 + 11 :]
     res = grid_res
     r2 = res // 4
     r3 = res // 8
-    n_blk_words = -(-(r3 * r3 * r3) // 4)  # 4 block bytes per u32
-    n_sunb_words = -(-(r3 * r3 * r3) // 32)
     fres = float(res)
     BIG = jnp.float32(3.0e38)
     eps = jnp.float32(1e-6)
@@ -491,59 +474,32 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         miss = active & ((t > far) | ~inb)
         live = active & ~miss
 
-        if block_march:
-            # BLOCK MARCH: the per-advance memory probe is the dist3 nibble
-            # alone (d3 == 0 ⇔ the 8³ block contains geometry — the LOD3
-            # occupancy is implicit in the distance field), so the march
-            # never gathers LOD2 occupancy; rays inside occupied blocks
-            # stall for a fetch round, which resolves the whole block's
-            # cell path in registers from an 8-bit child-cell byte
-            # (blk_ref) before the usual voxel resolve.
-            c3x, c3y, c3z = px >> 3, py >> 3, pz >> 3
-            b3 = (c3z * r3 + c3y) * r3 + c3x
-            w3 = _gather_words(dist3_ref, b3 >> 3, n_dist3_words)
-            d3 = (w3 >> ((b3 & 7) * 4)) & 15
-            if use_sun_open or (nee_mode and sun_mode == "all"):
-                # Block-level sun certificate (all 8 child cells open):
-                # strictly conservative, so retirement can come an advance
-                # later than the cell-level table — the verdict (escape =
-                # visible) is identical. One lane-shuffle round at 128³.
-                wsun = _gather_words(sunb_ref, b3 >> 5, n_sunb_words)
-                sun_esc = ((wsun >> (b3 & 31)) & 1) != 0
-                if nee_mode:
-                    sun_esc = sun_esc & (s_phase != 0)
-                miss = miss | (live & inb & sun_esc)
-                live = active & ~miss
-            at_occ = live & (d3 == 0)
-            w2 = d3  # march_candidates carries d3 in block mode
+        cell = ((pz >> 2) * r2 + (py >> 2)) * r2 + (px >> 2)
+        cw = cell >> 5
+        cb = cell & 31
+        ow = cw
+        ob = cb
+        if use_sun_open or (nee_mode and sun_mode == "all"):
+            # Sun-shadow mode: a ray standing in a SUN-OPEN cell provably
+            # escapes (ops.accel.build_sun_open_bits certifies the whole NEE
+            # cone from anywhere in the cell) — retire it as a miss now.
+            # Sharing the LOD2 scan makes the check nearly free. In nee_mode
+            # only the shadow-phase lanes may take the early-out.
+            # ``sun_mode``: 'all' checks every advance, 'half' only the
+            # unrolled segments (halving the dual-gather cost; retirement
+            # delayed ≤1 advance, outputs identical), 'off' disables the
+            # early-out (pure A/B knob — shadow rays march to escape).
+            w2, wsun = _gather_words2(lod2_ref, sun_ref, ow, n_lod2_words)
+            sun_esc = ((wsun >> ob) & 1) != 0
+            if nee_mode:
+                sun_esc = sun_esc & (s_phase != 0)
+            miss = miss | (live & inb & sun_esc)
+            live = active & ~miss
+            occ2 = ((w2 >> ob) & 1) != 0
         else:
-            cell = ((pz >> 2) * r2 + (py >> 2)) * r2 + (px >> 2)
-            cw = cell >> 5
-            cb = cell & 31
-            ow = cw
-            ob = cb
-            if use_sun_open or (nee_mode and sun_mode == "all"):
-                # Sun-shadow mode: a ray standing in a SUN-OPEN cell provably
-                # escapes (ops.accel.build_sun_open_bits certifies the whole
-                # NEE cone from anywhere in the cell) — retire it as a miss
-                # now. Sharing the LOD2 scan makes the check nearly free. In
-                # nee_mode only the shadow-phase lanes may take the
-                # early-out. ``sun_mode``: 'all' checks every advance, 'half'
-                # only the unrolled segments (halving the dual-gather cost;
-                # retirement delayed ≤1 advance, outputs identical), 'off'
-                # disables the early-out (pure A/B knob — shadow rays march
-                # to escape).
-                w2, wsun = _gather_words2(lod2_ref, sun_ref, ow, n_lod2_words)
-                sun_esc = ((wsun >> ob) & 1) != 0
-                if nee_mode:
-                    sun_esc = sun_esc & (s_phase != 0)
-                miss = miss | (live & inb & sun_esc)
-                live = active & ~miss
-                occ2 = ((w2 >> ob) & 1) != 0
-            else:
-                w2 = _gather_words(lod2_ref, ow, n_lod2_words)
-                occ2 = ((w2 >> ob) & 1) != 0
-            at_occ = live & occ2
+            w2 = _gather_words(lod2_ref, ow, n_lod2_words)
+            occ2 = ((w2 >> ob) & 1) != 0
+        at_occ = live & occ2
 
         # ONE packed max-reduce answers both questions (scalar-producing
         # reductions cost ~130 ns): 0 ⇒ no live rays (loop can stop),
@@ -565,87 +521,10 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         # while occupied). The mask table holds MIXED cells only, indexed by
         # prefix-popcount rank; solid cells read an implicit all-ones mask.
         def fetch_and_resolve():
-            if block_march:
-                # --- in-register BLOCK RESOLVE: walk the ≤4-cell monotone
-                # path through this 8³ block using its child-cell byte,
-                # landing each lane at its first occupied 4³ cell (or at the
-                # block exit, to re-probe next iteration). Each cell advance
-                # is the identical watertight box-exit math the cell-granular
-                # march performs, so the visited cell/voxel sequence — and
-                # every hit — is bitwise the same.
-                wb = _gather_words(blk_ref, b3 >> 2, n_blk_words)
-                byte = (wb >> ((b3 & 3) * 8)) & 255
-                moving = at_occ
-                ct, cpx, cpy, cpz = t, px, py, pz
-                cnx, cny, cnz = s_nx, s_ny, s_nz
-                at_cell = jnp.zeros(px.shape, jnp.bool_)
-                blk_steps = jnp.zeros(px.shape, jnp.int32)
-                for step in range(4):
-                    local = ((((cpz >> 2) & 1) * 2 + ((cpy >> 2) & 1)) * 2
-                             + ((cpx >> 2) & 1))
-                    occc = ((byte >> local) & 1) != 0
-                    found = moving & occc
-                    at_cell = at_cell | found
-                    moving = moving & ~found
-                    if step == 3:
-                        break
-                    lox = ((cpx >> 2) << 2).astype(jnp.float32)
-                    loy = ((cpy >> 2) << 2).astype(jnp.float32)
-                    loz = ((cpz >> 2) << 2).astype(jnp.float32)
-                    fx = ox + dx * ct - lox
-                    fy = oy + dy * ct - loy
-                    fz = oz + dz * ct - loz
-                    dxx = jnp.where(dx > 0.0, 4.0 - fx, fx)
-                    dyy = jnp.where(dy > 0.0, 4.0 - fy, fy)
-                    dzz = jnp.where(dz > 0.0, 4.0 - fz, fz)
-                    txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
-                    tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
-                    tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
-                    mint = jnp.maximum(
-                        jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
-                    ex = jnp.clip(jnp.floor(fx + mint * dx), 0.0, 3.0)
-                    ey = jnp.clip(jnp.floor(fy + mint * dy), 0.0, 3.0)
-                    ez = jnp.clip(jnp.floor(fz + mint * dz), 0.0, 3.0)
-                    anx = (txx == mint).astype(jnp.float32) * sx
-                    any_ = (tyy == mint).astype(jnp.float32) * sy
-                    anz = (tzz == mint).astype(jnp.float32) * sz
-                    npx = (lox + ex + anx).astype(jnp.int32)
-                    npy = (loy + ey + any_).astype(jnp.int32)
-                    npz = (loz + ez + anz).astype(jnp.int32)
-                    ct = jnp.where(moving, ct + mint, ct)
-                    cpx = jnp.where(moving, npx, cpx)
-                    cpy = jnp.where(moving, npy, cpy)
-                    cpz = jnp.where(moving, npz, cpz)
-                    if not any_hit:
-                        cnx = jnp.where(moving, anx, cnx)
-                        cny = jnp.where(moving, any_, cny)
-                        cnz = jnp.where(moving, anz, cnz)
-                    blk_steps = blk_steps + moving.astype(jnp.int32)
-                    exited = (
-                        ((cpx >> 3) != c3x) | ((cpy >> 3) != c3y)
-                        | ((cpz >> 3) != c3z) | (ct > far)
-                    )
-                    moving = moving & ~exited
-                cellf = ((cpz >> 2) * r2 + (cpy >> 2)) * r2 + (cpx >> 2)
-                cwf = cellf >> 5
-                cbf = cellf & 31
-                w2f, ws, base = _gather_words3(
-                    lod2_ref, solid_ref, rankb_ref, cwf, n_lod2_words)
-                solid_here = ((ws >> cbf) & 1) != 0
-                below = (w2f & ~ws) & ((1 << cbf) - 1)
-                res_mask = at_cell
-                rt0, rpx0, rpy0, rpz0 = ct, cpx, cpy, cpz
-                rnx0, rny0, rnz0 = cnx, cny, cnz
-                steps0 = blk_steps
-            else:
-                ws, base = _gather_words2(solid_ref, rankb_ref, cw,
-                                          n_lod2_words)
-                solid_here = ((ws >> cb) & 1) != 0
-                below = (w2 & ~ws) & ((1 << cb) - 1)
-                res_mask = at_occ
-                rt0, rpx0, rpy0, rpz0 = t, px, py, pz
-                rnx0, rny0, rnz0 = s_nx, s_ny, s_nz
-                steps0 = jnp.zeros(px.shape, jnp.int32)
+            ws, base = _gather_words2(solid_ref, rankb_ref, cw,
+                                      n_lod2_words)
+            solid_here = ((ws >> cb) & 1) != 0
+            below = (w2 & ~ws) & ((1 << cb) - 1)
             rank = base + _popcount32(below)
             mask_lo, mask_hi = _gather_words2(
                 mlo_ref, mhi_ref, rank, n_mixed_rows * LANES
@@ -731,10 +610,10 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
                 return rt, rpx, rpy, rpz, rnx, rny, rnz, rhit, steps
 
             rt, rpx, rpy, rpz, rnx, rny, rnz, rhit, steps = cell_dda(
-                res_mask, mask_lo, mask_hi, rt0, rpx0, rpy0, rpz0,
-                rnx0, rny0, rnz0,
+                at_occ, mask_lo, mask_hi, t, px, py, pz,
+                s_nx, s_ny, s_nz,
                 jnp.zeros(px.shape, jnp.bool_),
-                steps0)
+                jnp.zeros(px.shape, jnp.int32))
             return rt, rpx, rpy, rpz, rnx, rny, rnz, \
                 rhit.astype(jnp.int32), steps
 
@@ -750,39 +629,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             """Watertight advance to the farther of the valid skip boxes:
             candidate A (dist3 cube / current cell) or B (the free LOD2
             X-slab). Returns (nat, nap*, an*). Pure function of
-            (position, t) so extra ``march_unroll`` segments replay it.
-            In block-march mode ``w2_`` carries the already-gathered dist3
-            nibble and the advance is the pure distance-field cube (every
-            marcher has d3 ≥ 1 — occupied blocks stall for the fetch
-            round's in-register block resolve instead)."""
-            if block_march:
-                c3x_, c3y_, c3z_ = px_ >> 3, py_ >> 3, pz_ >> 3
-                rad = w2_ - 1  # marchers have d3 >= 1; masked lanes unused
-                lox = ((c3x_ - rad) << 3).astype(jnp.float32)
-                loy = ((c3y_ - rad) << 3).astype(jnp.float32)
-                loz = ((c3z_ - rad) << 3).astype(jnp.float32)
-                ext = ((2 * rad + 1) << 3).astype(jnp.float32)
-                fx = ox + dx * t_ - lox
-                fy = oy + dy * t_ - loy
-                fz = oz + dz * t_ - loz
-                dxx = jnp.where(dx > 0.0, ext - fx, fx)
-                dyy = jnp.where(dy > 0.0, ext - fy, fy)
-                dzz = jnp.where(dz > 0.0, ext - fz, fz)
-                txx = jnp.where(dx == 0.0, BIG, dxx * inv_x)
-                tyy = jnp.where(dy == 0.0, BIG, dyy * inv_y)
-                tzz = jnp.where(dz == 0.0, BIG, dzz * inv_z)
-                mint = jnp.maximum(
-                    jnp.minimum(jnp.minimum(txx, tyy), tzz), 0.0)
-                ex = jnp.clip(jnp.floor(fx + mint * dx), 0.0, ext - 1.0)
-                ey = jnp.clip(jnp.floor(fy + mint * dy), 0.0, ext - 1.0)
-                ez = jnp.clip(jnp.floor(fz + mint * dz), 0.0, ext - 1.0)
-                anx = (txx == mint).astype(jnp.float32) * sx
-                any_ = (tyy == mint).astype(jnp.float32) * sy
-                anz = (tzz == mint).astype(jnp.float32) * sz
-                napx = (lox + ex + anx).astype(jnp.int32)
-                napy = (loy + ey + any_).astype(jnp.int32)
-                napz = (loz + ez + anz).astype(jnp.int32)
-                return t_ + mint, napx, napy, napz, anx, any_, anz
+            (position, t) so extra ``march_unroll`` segments replay it."""
             c3x, c3y, c3z = px_ >> 3, py_ >> 3, pz_ >> 3
             c3 = (c3z * r3 + c3y) * r3 + c3x
             w3 = _gather_words(dist3_ref, c3 >> 3, n_dist3_words)
@@ -864,7 +711,7 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
         nat, napx, napy, napz, anx, any_, anz = march_candidates(
             t, px, py, pz, w2)
 
-        march = live & ~at_occ  # == live & ~occ2 / live & (d3 >= 1)
+        march = live & ~occ2
 
         o_t = jnp.where(miss, BIG, jnp.where(march, nat, t1))
         o_px = jnp.where(march, napx, px1)
@@ -896,34 +743,21 @@ def _traverse_kernel(*refs, grid_res, max_advances, fetch_colors, any_hit,
             )
             miss_u = o_act & ((o_t > far) | ~inb_u)
             live_u = o_act & ~miss_u
-            if block_march:
-                b3_u = (((o_pz >> 3) * r3 + (o_py >> 3)) * r3 + (o_px >> 3))
-                w3_u = _gather_words(dist3_ref, b3_u >> 3, n_dist3_words)
-                w2_u = (w3_u >> ((b3_u & 7) * 4)) & 15  # = d3 at the new pos
-                if use_sun_open or (nee_mode and sun_mode != "off"):
-                    wsun_u = _gather_words(sunb_ref, b3_u >> 5, n_sunb_words)
-                    sun_esc_u = ((wsun_u >> (b3_u & 31)) & 1) != 0
-                    if nee_mode:
-                        sun_esc_u = sun_esc_u & (s_phase != 0)
-                    miss_u = miss_u | (live_u & inb_u & sun_esc_u)
-                    live_u = o_act & ~miss_u
-                march_u = live_u & (w2_u != 0)
+            cell_u = ((o_pz >> 2) * r2 + (o_py >> 2)) * r2 + (o_px >> 2)
+            ow_u = cell_u >> 5
+            ob_u = cell_u & 31
+            if use_sun_open or (nee_mode and sun_mode != "off"):
+                w2_u, wsun_u = _gather_words2(lod2_ref, sun_ref, ow_u,
+                                              n_lod2_words)
+                sun_esc_u = ((wsun_u >> ob_u) & 1) != 0
+                if nee_mode:
+                    sun_esc_u = sun_esc_u & (s_phase != 0)
+                miss_u = miss_u | (live_u & inb_u & sun_esc_u)
+                live_u = o_act & ~miss_u
             else:
-                cell_u = ((o_pz >> 2) * r2 + (o_py >> 2)) * r2 + (o_px >> 2)
-                ow_u = cell_u >> 5
-                ob_u = cell_u & 31
-                if use_sun_open or (nee_mode and sun_mode != "off"):
-                    w2_u, wsun_u = _gather_words2(lod2_ref, sun_ref, ow_u,
-                                                  n_lod2_words)
-                    sun_esc_u = ((wsun_u >> ob_u) & 1) != 0
-                    if nee_mode:
-                        sun_esc_u = sun_esc_u & (s_phase != 0)
-                    miss_u = miss_u | (live_u & inb_u & sun_esc_u)
-                    live_u = o_act & ~miss_u
-                else:
-                    w2_u = _gather_words(lod2_ref, ow_u, n_lod2_words)
-                occ2_u = ((w2_u >> ob_u) & 1) != 0
-                march_u = live_u & ~occ2_u
+                w2_u = _gather_words(lod2_ref, ow_u, n_lod2_words)
+            occ2_u = ((w2_u >> ob_u) & 1) != 0
+            march_u = live_u & ~occ2_u
             nat_u, napx_u, napy_u, napz_u, anx_u, any_u, anz_u = \
                 march_candidates(o_t, o_px, o_py, o_pz, w2_u)
             o_t = jnp.where(miss_u, BIG, jnp.where(march_u, nat_u, o_t))
@@ -1262,7 +1096,7 @@ class PallasTraceResult(NamedTuple):
                      "block_rows", "use_sun_open", "use_xslab",
                      "resolve_steps",
                      "queue_depth", "refill_every", "march_unroll",
-                     "sun_mode", "nee_src_open", "block_march"),
+                     "sun_mode", "nee_src_open"),
 )
 def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     ray_max_t, grid_res: int, max_advances: int = 512,
@@ -1274,7 +1108,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
                     resolve_steps: int = CELL_RESOLVE_STEPS,
                     queue_depth: int = 1, refill_every: int = 4,
                     march_unroll: int = 1, sun_mode: str = "all",
-                    nee_src_open: bool = False, block_march: bool = False,
+                    nee_src_open: bool = False,
                     nee=None, alive=None) -> PallasTraceResult:
     """Trace rays in grid space [0, res)³ with the Pallas kernel.
 
@@ -1448,8 +1282,6 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
     pal = (tables.palette_words.reshape(-1, LANES).astype(jnp.int32)
            if use_palette else jnp.zeros((SUBLANES, LANES), jnp.int32))
     sun = tables.sun_open_words.reshape(-1, LANES).astype(jnp.int32)
-    blkc = tables.blk_cells.reshape(-1, LANES).astype(jnp.int32)
-    sunb = tables.sun_open_blk.reshape(-1, LANES).astype(jnp.int32)
     n_mixed_rows = mlo.shape[0]
 
     if queued:
@@ -1479,7 +1311,6 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         nee_mode=nee_mode, march_unroll=march_unroll, sun_mode=sun_mode,
         debug_totals=debug_totals,
         nee_src_open=nee_src_open and nee_mode,
-        block_march=block_march,
     )
 
     nee_ins = [nee_scalars] if nee_mode else []
@@ -1494,8 +1325,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
             table_spec(occm.shape[0]), table_spec(occb.shape[0]),
             table_spec(mlo.shape[0]), table_spec(mhi.shape[0]),
             table_spec(colors.shape[0]), table_spec(pal.shape[0]),
-            table_spec(sun.shape[0]), table_spec(blkc.shape[0]),
-            table_spec(sunb.shape[0]),
+            table_spec(sun.shape[0]),
         ],
         out_specs=[ray_spec] * n_out,
         out_shape=out_shapes,
@@ -1504,7 +1334,7 @@ def raytrace_pallas(tables: PallasTables, origin, direction, ray_min_t,
         ),
         interpret=interpret,
     )(*ins, *nee_ins, *amask_ins, lod2, solid, dist3, rankb, occm,
-      occb, mlo, mhi, colors, pal, sun, blkc, sunb)
+      occb, mlo, mhi, colors, pal, sun)
 
     def pack3(x, y, z):
         """Vector outputs follow the input layout: V3 in -> V3 out."""

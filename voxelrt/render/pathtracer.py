@@ -236,7 +236,6 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
         refill_every=cfg.dda_refill_every,
         march_unroll=cfg.dda_march_unroll,
         fetch_cadence=cfg.dda_fetch_cadence,
-        block_march=cfg.dda_block_march,
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
     )
     if shadow_ray:
@@ -354,7 +353,6 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 sun_mode=cfg.dda_sun_mode,
                 resolve_steps=cfg.dda_resolve_steps,
                 nee_src_open=cfg.dda_nee_src_open == "on",
-                block_march=cfg.dda_block_march,
                 interpret=cfg.pallas_interpret,
                 block_rows=cfg.dda_block_rows,
                 nee=nee,
