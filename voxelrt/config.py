@@ -139,10 +139,12 @@ class RenderConfig:
     # identical (rays at occupied cells just stall until the next fetch
     # round). Tuned on v5e (tools/trace_bench.py --unroll, example6):
     # 1→2 lifts tile-order bounce 91.9 → 107.2 Mrays/s and primary
-    # 110 → 143; 3 is flat-to-noise above it. With unroll 2 the fetch
-    # cadence drops to 1 (a fetch opportunity every 2 advances — the same
-    # economics as the old cadence-2 rolled loop).
-    dda_march_unroll: int = 2
+    # 110 → 143. Default 3 since refill cadence 2 (round 5): the more
+    # frequent refill rounds amortize better over three advances — full
+    # 512-spp runs read 30.5 / 31.0 / 30.9 ms/spp at unroll 3 / 2 / 4
+    # (two confirming runs each for 2 and 3). With unroll ≥2 the fetch
+    # cadence stays 1 (a fetch opportunity every `unroll` advances).
+    dda_march_unroll: int = 3
     dda_fetch_cadence: int = 1
 
     # In-kernel-NEE sun-open early-out cadence: 'all' consults the
