@@ -126,21 +126,38 @@ class HeadlessRenderer:
                     np.asarray(self.scene._light_direction, np.float64),
                     float(self.scene._light_cone_cos_theta_max),
                 )
+            # Sun-openness statistic: the fraction of LOD2 cells whose
+            # whole NEE cone provably escapes. Gates two scene-class
+            # policies below; enclosed interiors measure ~0, open terrain
+            # scenes ~0.3+.
+            open_frac = 0.0
+            if (self.cfg.use_directional_light
+                    and tables.sun_open_words is not None):
+                w = np.asarray(tables.sun_open_words).astype(np.uint32)
+                n_cells = (self.cfg.grid_res // 4) ** 3
+                open_frac = float(np.unpackbits(
+                    w.view(np.uint8)).sum()) / max(n_cells, 1)
             if self.cfg.dda_nee_src_open == "auto":
                 # Conversion-time sun-open NEE retirement pays only when a
                 # meaningful share of shadow-ray origin cells carries the
                 # certificate; enclosed interiors (example9: ~0% open)
                 # would pay the per-refill gather for nothing.
-                frac = 0.0
-                if (self.cfg.use_directional_light
-                        and tables.sun_open_words is not None):
-                    w = np.asarray(tables.sun_open_words).astype(np.uint32)
-                    n_cells = (self.cfg.grid_res // 4) ** 3
-                    frac = float(np.unpackbits(
-                        w.view(np.uint8)).sum()) / max(n_cells, 1)
                 self.cfg = dataclasses.replace(
                     self.cfg,
-                    dda_nee_src_open="on" if frac >= 0.15 else "off")
+                    dda_nee_src_open="on" if open_frac >= 0.15 else "off")
+            if self.cfg.dda_march_unroll == "auto":
+                # Open scenes amortize the per-iteration queue/refill cost
+                # over 3 advances; enclosed scenes are fetch-round-bound
+                # and prefer the fetch opportunity every 2nd advance (see
+                # config.dda_march_unroll for the measurements). Scenes
+                # without a sun certificate resolve to the open-scene
+                # value.
+                u = 3
+                if (self.cfg.use_directional_light
+                        and tables.sun_open_words is not None
+                        and open_frac < 0.15):
+                    u = 2
+                self.cfg = dataclasses.replace(self.cfg, dda_march_unroll=u)
         self.scene_data = SceneData(
             occ_words=arrays["occ_words"],
             voxels=arrays["voxels"],

@@ -139,12 +139,17 @@ class RenderConfig:
     # identical (rays at occupied cells just stall until the next fetch
     # round). Tuned on v5e (tools/trace_bench.py --unroll, example6):
     # 1→2 lifts tile-order bounce 91.9 → 107.2 Mrays/s and primary
-    # 110 → 143. Default 3 since refill cadence 2 (round 5): the more
-    # frequent refill rounds amortize better over three advances — full
-    # 512-spp runs read 30.5 / 31.0 / 30.9 ms/spp at unroll 3 / 2 / 4
-    # (two confirming runs each for 2 and 3). With unroll ≥2 the fetch
-    # cadence stays 1 (a fetch opportunity every `unroll` advances).
-    dda_march_unroll: int = 3
+    # 110 → 143. Since refill cadence 2 (round 5) the sweet spot is
+    # SCENE-CLASS dependent: open sun-lit scenes read 30.5 / 31.0 / 30.9
+    # ms/spp at unroll 3 / 2 / 4 (example6, two confirming full runs
+    # each for 2 and 3) but the enclosed example9 interior prefers 2
+    # (65.3 vs 67.0 at 3 — interiors are fetch-round-bound, and unroll 3
+    # defers fetch opportunities to every third advance). 'auto' (the
+    # default) resolves by the same sun-openness statistic that gates
+    # dda_nee_src_open (app/headless.prepare_data): ≥15% sun-open cells ⇒
+    # 3, else 2; callers that construct RenderConfig directly without the
+    # app shell resolve 'auto' to 3 (the open-scene value) at trace time.
+    dda_march_unroll: object = "auto"  # 'auto' | int ≥ 1
     dda_fetch_cadence: int = 1
 
     # In-kernel-NEE sun-open early-out cadence: 'all' consults the

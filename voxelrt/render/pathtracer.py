@@ -140,6 +140,15 @@ class _Pcg3dDraws:
         return u32_to_uniform(trip[c])
 
 
+def march_unroll_of(cfg) -> int:
+    """Resolve config.dda_march_unroll: the app shell's prepare_data
+    replaces 'auto' with a scene-class-measured int (3 open / 2 enclosed,
+    by the sun-openness statistic); configs built without the shell
+    resolve to the open-scene value here."""
+    u = cfg.dda_march_unroll
+    return u if isinstance(u, int) else 3
+
+
 def firefly_filter(v, cfg):
     """renderer/pathtracer.py:22-24."""
     if isinstance(v, V3):
@@ -234,7 +243,7 @@ def _trace_voxels_sorted(cfg, tables, origin, d, tmin, mask,
         use_sun_open=sun_shadow,
         queue_depth=cfg.dda_queue_depth,
         refill_every=cfg.dda_refill_every,
-        march_unroll=cfg.dda_march_unroll,
+        march_unroll=march_unroll_of(cfg),
         fetch_cadence=cfg.dda_fetch_cadence,
         interpret=cfg.pallas_interpret, block_rows=cfg.dda_block_rows,
     )
@@ -348,7 +357,7 @@ def next_hit(cfg, scene, params, pos, d, mask, shadow_ray: bool,
                 queue_depth=(1 if coherent and nee is None
                              else cfg.dda_queue_depth),
                 refill_every=cfg.dda_refill_every,
-                march_unroll=cfg.dda_march_unroll,
+                march_unroll=march_unroll_of(cfg),
                 fetch_cadence=cfg.dda_fetch_cadence,
                 sun_mode=cfg.dda_sun_mode,
                 resolve_steps=cfg.dda_resolve_steps,
